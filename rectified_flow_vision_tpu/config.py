@@ -1,0 +1,171 @@
+"""Typed configuration system.
+
+The reference keeps one YAML (``configs/config.yaml``) but parses it with
+three duplicated ``load_config()`` implementations (reference: main.py:33,
+experiments/train_base.py:49, utils/download_data.py:15) and writes a
+``config_quick.yaml`` that is never read back (reference: main.py:104-107).
+
+This module is the single source of truth: dataclasses <-> YAML with the
+*same key names* as the reference schema, one loader, and a quick-mode
+overlay that is both applied in memory and round-trippable through the
+written file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+# Repo root = directory containing main.py / configs/.
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+DEFAULT_CONFIG_PATH = _REPO_ROOT / "configs" / "config.yaml"
+QUICK_CONFIG_PATH = _REPO_ROOT / "configs" / "config_quick.yaml"
+
+
+@dataclass
+class DataConfig:
+    image_size: int = 64
+    num_mock_images: int = 100
+    data_dir: str = "data/mock_images"
+
+
+@dataclass
+class ModelConfig:
+    channels: int = 64
+    channel_mult: List[int] = field(default_factory=lambda: [1, 2, 4])
+    num_res_blocks: int = 2
+    attention_resolutions: List[int] = field(default_factory=lambda: [16, 8])
+    dropout: float = 0.1
+    # TPU-native extensions (absent keys default; YAML stays reference-compatible)
+    backbone: str = "unet"  # "unet" | "dit"
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # training compute dtype
+    sample_dtype: str = "bfloat16"  # inference/sampling compute dtype
+    use_pallas: Optional[bool] = None  # None => auto (TPU backend only)
+
+
+@dataclass
+class TrainingBaseConfig:
+    epochs: int = 50
+    batch_size: int = 16
+    learning_rate: float = 1e-4
+    num_timesteps: int = 1000
+    save_every: int = 10
+
+
+@dataclass
+class TrainingRectifiedConfig:
+    epochs: int = 30
+    batch_size: int = 16
+    learning_rate: float = 1e-4
+    num_reflow_iterations: int = 2
+    save_every: int = 10
+
+
+@dataclass
+class BenchmarkConfig:
+    num_samples: int = 50
+    steps_to_test: List[int] = field(
+        default_factory=lambda: [1, 2, 4, 8, 16, 32, 64, 100]
+    )
+    num_runs: int = 5
+
+
+@dataclass
+class MetricsConfig:
+    compute_fid: bool = True
+    compute_lpips: bool = True
+    compute_ssim: bool = True
+
+
+@dataclass
+class PathsConfig:
+    checkpoints: str = "checkpoints"
+    results: str = "results"
+    figures: str = "results/figures"
+
+
+@dataclass
+class ParallelConfig:
+    """TPU-native extension: mesh layout. Not present in the reference."""
+
+    data_axis: int = -1  # -1 => all remaining devices
+    model_axis: int = 1  # tensor-parallel degree
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training_base: TrainingBaseConfig = field(default_factory=TrainingBaseConfig)
+    training_rectified: TrainingRectifiedConfig = field(
+        default_factory=TrainingRectifiedConfig
+    )
+    benchmark: BenchmarkConfig = field(default_factory=BenchmarkConfig)
+    metrics: MetricsConfig = field(default_factory=MetricsConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # ---- dict/YAML round trip -------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        for section_name, section_value in (d or {}).items():
+            if not hasattr(cfg, section_name):
+                continue  # tolerate unknown sections (forward compat)
+            section = getattr(cfg, section_name)
+            if not dataclasses.is_dataclass(section) or not isinstance(
+                section_value, dict
+            ):
+                continue
+            known = {f.name for f in dataclasses.fields(section)}
+            for k, v in section_value.items():
+                if k in known:
+                    setattr(section, k, v)
+        return cfg
+
+    def save(self, path: os.PathLike | str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.dump(self.to_dict(), f, default_flow_style=False)
+
+
+def load_config(path: Optional[os.PathLike | str] = None) -> Config:
+    """Load the project config (the single loader).
+
+    Falls back to built-in defaults (identical to the reference's
+    configs/config.yaml values) when the file does not exist.
+    """
+    path = Path(path) if path is not None else DEFAULT_CONFIG_PATH
+    if not path.exists():
+        return Config()
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    return Config.from_dict(raw)
+
+
+def quick_overlay(cfg: Config) -> Config:
+    """Apply the --quick demo overlay (reference: main.py:44-61)."""
+    cfg.data.num_mock_images = 50
+    cfg.training_base.epochs = 5
+    cfg.training_base.batch_size = 8
+    cfg.training_rectified.epochs = 3
+    cfg.training_rectified.num_reflow_iterations = 1
+    cfg.benchmark.num_samples = 10
+    cfg.benchmark.steps_to_test = [1, 4, 16, 64]
+    cfg.benchmark.num_runs = 2
+    return cfg
+
+
+def repo_root() -> Path:
+    return _REPO_ROOT

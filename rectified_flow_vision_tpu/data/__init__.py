@@ -1,0 +1,9 @@
+"""Data: image dataset, host batching, layout conversion."""
+
+from rectified_flow_vision_tpu.data.dataset import (  # noqa: F401
+    ImageDataset,
+    as_nchw,
+    as_nhwc,
+    list_image_paths,
+    load_image,
+)

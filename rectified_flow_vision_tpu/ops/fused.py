@@ -1,0 +1,126 @@
+"""Fused elementwise chains: dispatch between Pallas TPU kernels and XLA.
+
+The hot per-layer chain in the UNet residual block is
+GroupNorm -> SiLU (reference: models/unet.py:55-62, executed twice per block,
+16 blocks + output head per forward). On TPU this chain is memory-bound;
+fusing it into one Pallas kernel removes HBM round-trips between the norm
+statistics pass and the activation. The XLA implementations in
+``ops.primitives`` are the fallback (non-TPU backends) and the ground truth
+for equivalence tests.
+
+Training support: the Pallas forward is wrapped in ``jax.custom_vjp`` whose
+backward is the XLA reference's VJP — correct gradients with a fused forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rectified_flow_vision_tpu.ops import primitives as P
+
+Array = jax.Array
+
+_PALLAS_OK: Optional[bool] = None
+
+
+def pallas_available() -> bool:
+    """True when the TPU Pallas backend can be used."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        _PALLAS_OK = jax.default_backend() == "tpu"
+    return _PALLAS_OK
+
+
+def resolve_use_pallas(flag: Optional[bool]) -> bool:
+    """None => auto-detect; explicit bool wins."""
+    if flag is None:
+        return pallas_available()
+    return bool(flag)
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm + SiLU
+# ---------------------------------------------------------------------------
+
+
+def _gn_silu_xla(x: Array, scale: Array, bias: Array, num_groups: int) -> Array:
+    p = {"scale": scale, "bias": bias}
+    return P.silu(P.group_norm(x, p, num_groups=num_groups))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gn_silu_pallas(x: Array, scale: Array, bias: Array, num_groups: int) -> Array:
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    return K.gn_silu(x, scale, bias, num_groups=num_groups)
+
+
+def _gn_silu_fwd(x, scale, bias, num_groups):
+    return _gn_silu_pallas(x, scale, bias, num_groups), (x, scale, bias)
+
+
+def _gn_silu_bwd(num_groups, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x_, s_, b_: _gn_silu_xla(x_, s_, b_, num_groups), x, scale, bias)
+    return vjp(g)
+
+
+_gn_silu_pallas.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def gn_silu(
+    x: Array, p: dict, *, num_groups: int = 8, use_pallas: bool = False
+) -> Array:
+    """Fused GroupNorm(num_groups) + SiLU over an NHWC tensor."""
+    if use_pallas and pallas_available():
+        return _gn_silu_pallas(x, p["scale"], p["bias"], num_groups)
+    return _gn_silu_xla(x, p["scale"], p["bias"], num_groups)
+
+
+# ---------------------------------------------------------------------------
+# Spatial self-attention
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _attention_pallas(x: Array, p: dict, num_heads: int, num_groups: int) -> Array:
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    return K.attention_block(x, p, num_heads=num_heads, num_groups=num_groups)
+
+
+def _attention_fwd(x, p, num_heads, num_groups):
+    return _attention_pallas(x, p, num_heads, num_groups), (x, p)
+
+
+def _attention_bwd(num_heads, num_groups, res, g):
+    x, p = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: P.spatial_attention(
+            x_, p_, num_heads=num_heads, num_groups=num_groups
+        ),
+        x,
+        p,
+    )
+    return vjp(g)
+
+
+_attention_pallas.defvjp(_attention_fwd, _attention_bwd)
+
+
+def attention(
+    x: Array,
+    p: dict,
+    *,
+    num_heads: int = 4,
+    num_groups: int = 8,
+    use_pallas: bool = False,
+) -> Array:
+    """Spatial self-attention block (norm -> qkv -> attn -> proj -> +x)."""
+    if use_pallas and pallas_available():
+        return _attention_pallas(x, p, num_heads, num_groups)
+    return P.spatial_attention(x, p, num_heads=num_heads, num_groups=num_groups)

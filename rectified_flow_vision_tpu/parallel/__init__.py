@@ -1,0 +1,13 @@
+"""Parallelism: device mesh, shardings, multi-host init."""
+
+from rectified_flow_vision_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    make_param_shardings,
+    maybe_init_distributed,
+    replicated,
+    shard_batch,
+    shard_params,
+)

@@ -1,0 +1,138 @@
+"""Device-mesh construction and sharding rules.
+
+The reference is strictly single-process / single-device (reference:
+models/base_flow.py:46, main.py:93 — a bare cuda-or-cpu device string, no
+torch.distributed anywhere). Parallelism here is therefore a from-scratch
+TPU-native design, not a port:
+
+* one ``jax.sharding.Mesh`` with axes ``('data', 'model')`` is the sole
+  parallelism abstraction — batch parallel over ``data``, tensor parallel
+  over ``model`` (out-channel / attention-head sharding),
+* all collectives are emitted by the GSPMD partitioner from sharding
+  annotations; the framework never issues raw collectives,
+* multi-host: ``jax.distributed.initialize()`` + the same mesh over all
+  processes' devices (ICI within a slice, DCN across slices, chosen by XLA
+  from mesh placement).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Initialise multi-host JAX when launched under a cluster scheduler."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # noqa: BLE001 - single-host fallback
+            pass
+
+
+def create_mesh(
+    data_axis: int = -1,
+    model_axis: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    ``data_axis == -1`` consumes all devices not used by ``model_axis``.
+    Device order follows ``jax.devices()`` so the model axis lands on
+    ICI-adjacent chips (jax orders devices by interconnect locality).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_axis < 1 or n % model_axis != 0:
+        raise ValueError(f"model_axis={model_axis} must divide device count {n}")
+    dp = n // model_axis if data_axis == -1 else data_axis
+    if dp * model_axis != n:
+        raise ValueError(
+            f"mesh {dp}x{model_axis} does not cover {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(dp, model_axis)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch) -> jax.Array:
+    """Place a host batch onto the mesh, sharded over the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules for the UNet param tree
+# ---------------------------------------------------------------------------
+
+# Param paths (joined with '/') matched against these regexes, first hit wins.
+# Conv kernels are HWIO: shard the Out channel. Dense kernels are (In, Out).
+# Norm scale/bias and biases follow the out-channel sharding of their layer.
+_TP_RULES = [
+    # attention qkv/proj dense: shard heads via the out dim of qkv, in dim of proj
+    (re.compile(r".*mid_attn/qkv/w$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*mid_attn/qkv/b$"), P(MODEL_AXIS)),
+    (re.compile(r".*mid_attn/proj/w$"), P(MODEL_AXIS, None)),
+    # time-embedding MLP: shard the 4C hidden dim
+    (re.compile(r".*time_mlp/lin1/w$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*time_mlp/lin1/b$"), P(MODEL_AXIS)),
+    (re.compile(r".*time_mlp/lin2/w$"), P(MODEL_AXIS, None)),
+    # res-block time projections: shard the In (= 4C hidden) dim
+    (re.compile(r".*/time/w$"), P(MODEL_AXIS, None)),
+]
+
+
+def unet_param_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for one UNet parameter under tensor parallelism.
+
+    Conservative rule set: only matmul-shaped layers whose sharding GSPMD
+    resolves without cross-channel norm complications are sharded over
+    'model'; conv kernels stay replicated (they are small at these model
+    sizes — TP exists for the DiT family, where it shards every block).
+    """
+    for pattern, spec in _TP_RULES:
+        if pattern.match(path):
+            return spec
+    return P()
+
+
+def make_param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    """Build a sharding pytree for a UNet param tree."""
+    from rectified_flow_vision_tpu.utils.checkpoint import flatten_tree, unflatten_tree
+
+    flat = flatten_tree(params)
+    specs = {
+        path: NamedSharding(mesh, unet_param_spec(path, arr.ndim))
+        for path, arr in flat.items()
+    }
+    return unflatten_tree(specs)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place params on the mesh (TP-sharded where rules apply, else replicated)."""
+    from rectified_flow_vision_tpu.utils.checkpoint import flatten_tree, unflatten_tree
+
+    flat = flatten_tree(params)
+    placed = {
+        path: jax.device_put(
+            arr, NamedSharding(mesh, unet_param_spec(path, arr.ndim))
+        )
+        for path, arr in flat.items()
+    }
+    return unflatten_tree(placed)

@@ -1,0 +1,212 @@
+"""Quality + speed metrics: SSIM, LPIPS, FID, generation throughput.
+
+Capability parity with the reference MetricsCalculator (reference:
+utils/metrics.py:17-172) with the same soft-fallback semantics:
+
+* SSIM — scikit-image-compatible implementation (utils/ssim.py),
+* LPIPS — AlexNet-backbone perceptual distance; the reference lazily
+  imports the ``lpips`` pip package and returns NaN when unavailable
+  (reference: metrics.py:29-36,66-67). This build evaluates through a JAX
+  port whose pretrained weights load from ``weights/lpips_alex.npz`` when
+  present, with the same NaN fallback otherwise (no-egress environments
+  cannot fetch pretrained weights),
+* FID — the reference's "simplified FID" uses raw flattened pixels as
+  features (metrics.py:84-88); kept here as the default for score parity,
+  plus a pluggable feature extractor (``feature_fn``) for real
+  Inception-style FID,
+* speed — warmup + ``block_until_ready`` timing (the JAX analogue of the
+  reference's cuda.synchronize brackets, metrics.py:143-159).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+from rectified_flow_vision_tpu.utils.ssim import structural_similarity
+
+
+def _to_numpy(x) -> np.ndarray:
+    """Accept numpy / jax arrays (and torch tensors if torch is around)."""
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+class MetricsCalculator:
+    """Metrics calculator for generative model evaluation."""
+
+    def __init__(self, device: str = "cpu"):
+        # ``device`` kept for reference API parity; JAX manages placement.
+        self.device = device
+        self._lpips_model = None
+        self._inception_model = None
+
+    # ---- LPIPS -----------------------------------------------------------
+
+    @property
+    def lpips_model(self):
+        """Lazy-loaded LPIPS evaluator; None when weights are unavailable."""
+        if self._lpips_model is None:
+            try:
+                from rectified_flow_vision_tpu.utils.lpips_jax import LPIPS
+
+                self._lpips_model = LPIPS.load_default()
+            except (ImportError, FileNotFoundError):
+                print(
+                    "LPIPS weights not available. Convert them with "
+                    "tools/convert_lpips_weights.py to enable LPIPS."
+                )
+                return None
+        return self._lpips_model
+
+    def compute_lpips(self, img1, img2) -> float:
+        """LPIPS distance between [B, C, H, W] batches in [-1, 1]."""
+        model = self.lpips_model
+        if model is None:
+            return float("nan")
+        return float(model(_to_numpy(img1), _to_numpy(img2)).mean())
+
+    # ---- SSIM ------------------------------------------------------------
+
+    def compute_ssim(self, img1: np.ndarray, img2: np.ndarray) -> float:
+        """SSIM between [H, W, C] (or [H, W]) uint8-range images."""
+        img1, img2 = _to_numpy(img1), _to_numpy(img2)
+        if img1.shape != img2.shape:
+            raise ValueError("Images must have the same size")
+        if img1.ndim == 3:
+            return structural_similarity(
+                img1, img2, channel_axis=2, data_range=255
+            )
+        return structural_similarity(img1, img2, data_range=255)
+
+    # ---- FID -------------------------------------------------------------
+
+    def compute_fid_statistics(
+        self, images, feature_fn: Optional[Callable] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(mu, sigma) of image features.
+
+        Default features are the raw flattened pixels (parity with the
+        reference's simplified FID, metrics.py:84-88); pass ``feature_fn``
+        for learned features.
+        """
+        images = _to_numpy(images)
+        if feature_fn is not None:
+            feats = _to_numpy(feature_fn(images))
+        else:
+            feats = images.reshape(images.shape[0], -1)
+        feats = feats.astype(np.float64)
+        mu = feats.mean(axis=0)
+        sigma = np.cov(feats, rowvar=False)
+        return mu, sigma
+
+    def compute_fid(
+        self,
+        real_images,
+        generated_images,
+        feature_fn: Optional[Callable] = None,
+    ) -> float:
+        """Frechet distance between feature statistics (lower is better)."""
+        mu1, sigma1 = self.compute_fid_statistics(real_images, feature_fn)
+        mu2, sigma2 = self.compute_fid_statistics(generated_images, feature_fn)
+
+        diff = mu1 - mu2
+        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        fid = diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean)
+        return float(fid)
+
+    # ---- speed -------------------------------------------------------------
+
+    def compute_generation_speed(
+        self,
+        model,
+        num_samples: int,
+        num_steps: int,
+        batch_size: int = 1,
+        num_runs: int = 5,
+        image_size: int = 64,
+    ) -> Dict[str, float]:
+        """Throughput of ``model.sample`` (reference: metrics.py:118-172).
+
+        Warmup run compiles the scan executable; every timed run ends with
+        ``block_until_ready`` so XLA's async dispatch cannot hide work.
+        """
+        import jax
+
+        times: List[float] = []
+        key = jax.random.key(0)
+
+        for run in range(num_runs):
+            if run == 0:  # warmup / compile
+                noise = jax.random.normal(
+                    key, (batch_size, image_size, image_size, model.in_channels)
+                )
+                out = model.sample(
+                    noise=noise, num_steps=num_steps, data_format="NHWC"
+                )
+                jax.block_until_ready(out)
+
+            start = time.perf_counter()
+            outs = []
+            for i in range(0, num_samples, batch_size):
+                k = jax.random.fold_in(key, run * 10007 + i)
+                noise = jax.random.normal(
+                    k, (batch_size, image_size, image_size, model.in_channels)
+                )
+                outs.append(
+                    model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
+                )
+            jax.block_until_ready(outs)
+            times.append(time.perf_counter() - start)
+
+        total_time = float(np.mean(times))
+        return {
+            "total_time": total_time,
+            "time_per_image": total_time / num_samples,
+            "images_per_second": num_samples / total_time,
+            "time_std": float(np.std(times)),
+            "num_steps": num_steps,
+            "num_samples": num_samples,
+        }
+
+
+def benchmark_models(
+    base_model,
+    rectified_model,
+    steps_list: List[int],
+    num_samples: int = 50,
+    image_size: int = 64,
+    device: str = "tpu",
+) -> Dict:
+    """Side-by-side speed benchmark (reference: utils/metrics.py:175-223)."""
+    calc = MetricsCalculator(device)
+    results: Dict[str, list] = {"base_model": [], "rectified_model": []}
+
+    print("\n" + "=" * 60)
+    print("BENCHMARK: Base Model vs Rectified Model")
+    print("=" * 60)
+
+    for num_steps in steps_list:
+        base_speed = calc.compute_generation_speed(
+            base_model, num_samples, num_steps, image_size=image_size
+        )
+        base_speed["model"] = "base"
+        results["base_model"].append(base_speed)
+
+        rect_speed = calc.compute_generation_speed(
+            rectified_model, num_samples, num_steps, image_size=image_size
+        )
+        rect_speed["model"] = "rectified"
+        results["rectified_model"].append(rect_speed)
+
+        print(f"\nSteps: {num_steps}")
+        print(f"  Base:       {base_speed['time_per_image'] * 1000:.2f} ms/img")
+        print(f"  Rectified:  {rect_speed['time_per_image'] * 1000:.2f} ms/img")
+
+    return results
