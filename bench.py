@@ -1,0 +1,75 @@
+"""Headline benchmark: few-step Euler sampling throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: images/sec at 4-step Euler sampling of the reference's default
+config (64x64, 11.3M-param UNet). Baseline: the reference's committed run
+artifact — 272.96 ms/img = 3.6635 img/s at 4 steps
+(reference: results/benchmark_results.csv row num_steps=4; hardware
+unrecorded, likely CPU — the only measured numbers the reference ships).
+
+The sampler is the framework's fused lax.scan executable (bf16 model
+compute, Pallas kernels on TPU); throughput is measured at a large batch
+with warmup excluded and block_until_ready closing each timed window.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASELINE_IMG_PER_SEC_4STEP = 3.6635  # reference results/benchmark_results.csv:4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rectified_flow_vision_tpu.models import BaseFlowModel
+
+    image_size = 64
+    num_steps = 4
+    batch = 256 if jax.default_backend() == "tpu" else 16
+    num_runs = 5
+
+    model = BaseFlowModel(image_size=image_size)  # default = reference config
+
+    key = jax.random.key(0)
+    noise = jax.random.normal(key, (batch, image_size, image_size, 3), jnp.float32)
+
+    # Warmup: compile the scan executable.
+    out = model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
+    jax.block_until_ready(out)
+
+    times = []
+    for run in range(num_runs):
+        k = jax.random.fold_in(key, run + 1)
+        n = jax.random.normal(k, noise.shape, jnp.float32)
+        jax.block_until_ready(n)
+        t0 = time.perf_counter()
+        out = model.sample(noise=n, num_steps=num_steps, data_format="NHWC")
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    img_per_sec = batch / best
+
+    print(
+        json.dumps(
+            {
+                "metric": f"img_per_sec_{image_size}x{image_size}_{num_steps}step_euler",
+                "value": round(img_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_4STEP, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

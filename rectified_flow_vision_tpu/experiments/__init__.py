@@ -1,0 +1,1 @@
+"""Experiment entry points: train_base, train_rectified, benchmark."""

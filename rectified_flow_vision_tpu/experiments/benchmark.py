@@ -1,0 +1,297 @@
+"""Benchmark: base vs rectified model (reference: experiments/benchmark.py).
+
+Parity surface: per-step speed sweep with warmup + synchronisation
+(reference :32-83, here ``block_until_ready``), per-step table, few-step
+sample grids from shared noise (:217-242), ``benchmark_results.csv`` with
+the same columns (:252-264), speed figure + text report (:272-278), and the
+conclusions heuristic comparing rect@<=4 steps vs base@>=64 steps (:287-306).
+
+Additions over the reference: the dead quality benchmark (:86-118) is wired
+in (``--quality`` / quality flags in config actually honoured), and a
+throughput (images/sec/chip) line is reported for the TPU target.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from rectified_flow_vision_tpu.config import Config, load_config, repo_root
+from rectified_flow_vision_tpu.models import BaseFlowModel, RectifiedFlowModel
+from rectified_flow_vision_tpu.utils import (
+    MetricsCalculator,
+    create_summary_report,
+    plot_generated_samples,
+    plot_speed_comparison,
+)
+from rectified_flow_vision_tpu.utils.logging_config import get_logger
+
+log = get_logger("flow_vision.benchmark")
+
+
+def benchmark_speed(
+    model,
+    num_samples: int,
+    steps_list: list,
+    image_size: int,
+    num_runs: int = 3,
+    batch_size: int = 4,
+):
+    """Speed sweep over step counts (reference: benchmark.py:32-83).
+
+    Per step count: one warmup sample (compiles the scan executable), then
+    ``num_runs`` timed loops over batches, each ended by block_until_ready.
+    """
+    results = []
+    key = jax.random.key(0)
+
+    for num_steps in steps_list:
+        times = []
+        for run in range(num_runs):
+            if run == 0:  # warmup/compile outside timing
+                noise = jax.random.normal(
+                    key, (batch_size, image_size, image_size, model.in_channels)
+                )
+                jax.block_until_ready(
+                    model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
+                )
+
+            start = time.perf_counter()
+            outs = []
+            for i in range(0, num_samples, batch_size):
+                k = jax.random.fold_in(key, run * 131071 + i)
+                noise = jax.random.normal(
+                    k, (batch_size, image_size, image_size, model.in_channels)
+                )
+                outs.append(
+                    model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
+                )
+            jax.block_until_ready(outs)
+            times.append(time.perf_counter() - start)
+
+        avg_time, std_time = float(np.mean(times)), float(np.std(times))
+        results.append(
+            {
+                "num_steps": num_steps,
+                "total_time": avg_time,
+                "time_per_image": avg_time / num_samples,
+                "images_per_second": num_samples / avg_time,
+                "time_std": std_time,
+                "num_samples": num_samples,
+            }
+        )
+    return results
+
+
+def benchmark_quality(model, reference_images, num_steps: int):
+    """Quality vs reference images: SSIM + LPIPS (+ raw-pixel FID).
+
+    The reference defines this but never calls it (benchmark.py:86-118);
+    here it is part of the main run. ``reference_images`` is NHWC in [-1,1].
+    """
+    calc = MetricsCalculator()
+    noise = jax.random.normal(jax.random.key(7), reference_images.shape)
+    generated = np.asarray(
+        jax.device_get(
+            model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
+        )
+    )
+
+    ref_np = ((reference_images + 1) / 2 * 255).astype(np.uint8)
+    gen_np = ((np.clip(generated, -1, 1) + 1) / 2 * 255).astype(np.uint8)
+
+    ssim_scores = [
+        calc.compute_ssim(ref_np[i], gen_np[i]) for i in range(ref_np.shape[0])
+    ]
+    ref_nchw = np.transpose(reference_images, (0, 3, 1, 2))
+    gen_nchw = np.transpose(generated, (0, 3, 1, 2))
+    lpips_score = calc.compute_lpips(ref_nchw, gen_nchw)
+    fid = calc.compute_fid(ref_nchw, gen_nchw)
+
+    return {
+        "ssim_mean": float(np.mean(ssim_scores)),
+        "ssim_std": float(np.std(ssim_scores)),
+        "lpips": lpips_score,
+        "fid_simple": fid,
+        "num_steps": num_steps,
+    }
+
+
+def _load_model(cls, cfg: Config, path: Path, name: str):
+    model = cls(
+        image_size=cfg.data.image_size,
+        model_channels=cfg.model.channels,
+        channel_mult=cfg.model.channel_mult,
+        num_res_blocks=cfg.model.num_res_blocks,
+        attention_resolutions=cfg.model.attention_resolutions,
+        dropout=cfg.model.dropout,
+        compute_dtype=cfg.model.compute_dtype,
+        sample_dtype=cfg.model.sample_dtype,
+        use_pallas=cfg.model.use_pallas,
+    )
+    if path.exists():
+        model.load(str(path))
+        log.info("%s model loaded from checkpoint", name)
+    else:
+        log.warning("WARNING: Using untrained %s model", name)
+    return model
+
+
+def main(config: Optional[Config] = None) -> pd.DataFrame:
+    cfg = config if config is not None else load_config()
+
+    checkpoint_dir = repo_root() / cfg.paths.checkpoints
+    results_dir = repo_root() / cfg.paths.results
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    image_size = cfg.data.image_size
+    num_samples = cfg.benchmark.num_samples
+    steps_to_test = cfg.benchmark.steps_to_test
+    num_runs = cfg.benchmark.num_runs
+
+    log.info("Loading models...")
+    base_model = _load_model(
+        BaseFlowModel, cfg, checkpoint_dir / "base_flow_final.npz", "Base"
+    )
+    rect_model = _load_model(
+        RectifiedFlowModel, cfg, checkpoint_dir / "rectified_flow_k1_final.npz",
+        "Rectified",
+    )
+
+    # ---- speed ------------------------------------------------------------
+    log.info("=" * 60)
+    log.info("SPEED BENCHMARK")
+    log.info("=" * 60)
+    log.info("Samples: %d, Steps: %s, Runs: %d", num_samples, steps_to_test, num_runs)
+
+    log.info("Benchmarking BASE model...")
+    base_results = benchmark_speed(
+        base_model, num_samples, steps_to_test, image_size, num_runs
+    )
+    log.info("Benchmarking RECTIFIED model...")
+    rect_results = benchmark_speed(
+        rect_model, num_samples, steps_to_test, image_size, num_runs
+    )
+
+    log.info("-" * 60)
+    log.info(
+        "%-10s %-18s %-18s %-10s", "Steps", "Base (ms/img)", "Rect (ms/img)", "Speedup"
+    )
+    log.info("-" * 60)
+    for base_r, rect_r in zip(base_results, rect_results):
+        base_time = base_r["time_per_image"] * 1000
+        rect_time = rect_r["time_per_image"] * 1000
+        speedup = base_time / rect_time if rect_time > 0 else 0
+        log.info(
+            "%-10d %-18.2f %-18.2f %-10.2fx",
+            base_r["num_steps"], base_time, rect_time, speedup,
+        )
+
+    # ---- few-step sample grids ---------------------------------------------
+    log.info("=" * 60)
+    log.info("KEY COMPARISON: GENERATION WITH FEW STEPS")
+    log.info("=" * 60)
+
+    few_steps = [1, 2, 4, 8]
+    noise_test = jax.random.normal(
+        jax.random.key(3), (8, image_size, image_size, 3)
+    )
+    for steps in few_steps:
+        log.info("Generating with %d step(s)...", steps)
+        base_samples = base_model.sample(
+            noise=noise_test, num_steps=steps, data_format="NHWC"
+        )
+        rect_samples = rect_model.sample(
+            noise=noise_test, num_steps=steps, data_format="NHWC"
+        )
+        plot_generated_samples(
+            np.asarray(jax.device_get(base_samples))[:4],
+            title=f"Base Model - {steps} steps",
+            save_path=str(results_dir / f"base_samples_{steps}steps.png"),
+            data_format="NHWC",
+        )
+        plot_generated_samples(
+            np.asarray(jax.device_get(rect_samples))[:4],
+            title=f"Rectified Model - {steps} steps",
+            save_path=str(results_dir / f"rect_samples_{steps}steps.png"),
+            data_format="NHWC",
+        )
+
+    # ---- quality (the reference's dead benchmark_quality, now live) --------
+    quality_rows = []
+    if cfg.metrics.compute_ssim or cfg.metrics.compute_lpips or cfg.metrics.compute_fid:
+        data_dir = repo_root() / cfg.data.data_dir
+        from rectified_flow_vision_tpu.data import ImageDataset
+
+        ds = ImageDataset(str(data_dir), image_size) if data_dir.exists() else None
+        if ds is not None and len(ds) >= 8:
+            ref_imgs = ds.images[: min(len(ds), 32)]
+            for steps in few_steps:
+                q_base = benchmark_quality(base_model, ref_imgs, steps)
+                q_rect = benchmark_quality(rect_model, ref_imgs, steps)
+                quality_rows.append(
+                    {"num_steps": steps, "model": "base", **q_base}
+                )
+                quality_rows.append(
+                    {"num_steps": steps, "model": "rectified", **q_rect}
+                )
+            log.info("Quality metrics computed for steps %s", few_steps)
+
+    # ---- persist ------------------------------------------------------------
+    log.info("=" * 60)
+    log.info("SAVING RESULTS")
+    log.info("=" * 60)
+
+    results_df = pd.DataFrame(
+        {
+            "num_steps": [r["num_steps"] for r in base_results],
+            "base_time_ms": [r["time_per_image"] * 1000 for r in base_results],
+            "rect_time_ms": [r["time_per_image"] * 1000 for r in rect_results],
+            "base_img_per_sec": [r["images_per_second"] for r in base_results],
+            "rect_img_per_sec": [r["images_per_second"] for r in rect_results],
+        }
+    )
+    results_df["speedup"] = results_df["base_time_ms"] / results_df["rect_time_ms"]
+
+    csv_path = results_dir / "benchmark_results.csv"
+    results_df.to_csv(csv_path, index=False)
+    log.info("Results saved to: %s", csv_path)
+
+    if quality_rows:
+        pd.DataFrame(quality_rows).to_csv(
+            results_dir / "quality_results.csv", index=False
+        )
+
+    all_results = {"base_model": base_results, "rectified_model": rect_results}
+    plot_speed_comparison(all_results, save_path=str(results_dir / "speed_comparison.png"))
+    create_summary_report(all_results, str(results_dir))
+
+    # ---- conclusions (reference heuristic, benchmark.py:287-306) -----------
+    log.info("=" * 60)
+    log.info("CONCLUSIONS")
+    log.info("=" * 60)
+
+    optimal = next((r for r in rect_results if r["num_steps"] <= 4), None)
+    base_many = next((r for r in base_results if r["num_steps"] >= 64), None)
+    if optimal and base_many:
+        total_speedup = base_many["time_per_image"] / optimal["time_per_image"]
+        log.info(
+            "The RECTIFIED model with %d steps can match the quality of the "
+            "BASE model with 64+ steps.",
+            optimal["num_steps"],
+        )
+        log.info("Estimated total speedup: %.1fx faster", total_speedup)
+
+    best = max(r["images_per_second"] for r in rect_results if r["num_steps"] <= 4)
+    log.info("Peak few-step throughput: %.1f images/sec/chip", best)
+    log.info("All results in: %s", results_dir)
+    return results_df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Train the base flow model (reference: experiments/train_base.py).
+
+Same flow as the reference main(): load config -> ensure data (synthesize
+if missing, :71-75) -> dataset -> model -> train -> save losses .npy ->
+smoke-sample. Module is runnable both as
+``python -m rectified_flow_vision_tpu.experiments.train_base`` and through
+``main.py``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from rectified_flow_vision_tpu.config import Config, load_config, repo_root
+from rectified_flow_vision_tpu.data import ImageDataset
+from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
+from rectified_flow_vision_tpu.utils.logging_config import get_logger
+
+log = get_logger("flow_vision.train_base")
+
+
+def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
+    cfg = config if config is not None else load_config()
+
+    checkpoint_dir = repo_root() / cfg.paths.checkpoints
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    data_dir = repo_root() / cfg.data.data_dir
+    if not data_dir.exists() or not any(data_dir.iterdir()):
+        log.info("No data found; generating synthetic data for demo...")
+        from rectified_flow_vision_tpu.utils.download_data import download_data
+
+        download_data(use_online=False)
+
+    dataset = ImageDataset(str(data_dir), cfg.data.image_size)
+
+    model = BaseFlowModel(
+        image_size=cfg.data.image_size,
+        model_channels=cfg.model.channels,
+        channel_mult=cfg.model.channel_mult,
+        num_res_blocks=cfg.model.num_res_blocks,
+        attention_resolutions=cfg.model.attention_resolutions,
+        dropout=cfg.model.dropout,
+        compute_dtype=cfg.model.compute_dtype,
+        sample_dtype=cfg.model.sample_dtype,
+        use_pallas=cfg.model.use_pallas,
+    )
+    log.info("Model created with %s parameters", f"{model.num_parameters():,}")
+
+    log.info("=" * 60)
+    log.info("TRAINING BASE MODEL")
+    log.info("=" * 60)
+
+    losses = train_base_flow(
+        model=model,
+        dataloader=dataset,
+        epochs=cfg.training_base.epochs,
+        lr=cfg.training_base.learning_rate,
+        save_path=str(checkpoint_dir / "base_flow"),
+        save_every=cfg.training_base.save_every,
+        batch_size=cfg.training_base.batch_size,
+        mesh=mesh,
+    )
+
+    np.save(str(checkpoint_dir / "base_flow_losses.npy"), losses)
+
+    log.info("Training completed!")
+    log.info("Model saved to: %s", checkpoint_dir / "base_flow_final.npz")
+
+    log.info("Generating test samples...")
+    samples = model.sample(batch_size=4, num_steps=50)
+    log.info("Generated samples: %s", tuple(samples.shape))
+    return model
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Train the rectified (Reflow) model (reference: experiments/train_rectified.py).
+
+Same flow as the reference main(): load trained base checkpoint (fresh model
+with a warning otherwise, :39-64) -> single Reflow round (pair synthesis
+with num_timesteps//10 teacher steps, :75-80; student training, :83-92) ->
+optional iterative Reflow when num_reflow_iterations > 1 (:99-120) ->
+straightness report (:128-139 — including the base-model straightness the
+reference silently drops at :136).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from rectified_flow_vision_tpu.config import Config, load_config, repo_root
+from rectified_flow_vision_tpu.models import (
+    BaseFlowModel,
+    RectifiedFlowModel,
+    generate_reflow_pairs,
+    iterative_reflow,
+    train_rectified_flow,
+)
+from rectified_flow_vision_tpu.utils.logging_config import get_logger
+
+log = get_logger("flow_vision.train_rectified")
+
+
+def _build_base_model(cfg: Config) -> BaseFlowModel:
+    return BaseFlowModel(
+        image_size=cfg.data.image_size,
+        model_channels=cfg.model.channels,
+        channel_mult=cfg.model.channel_mult,
+        num_res_blocks=cfg.model.num_res_blocks,
+        attention_resolutions=cfg.model.attention_resolutions,
+        dropout=cfg.model.dropout,
+        compute_dtype=cfg.model.compute_dtype,
+        sample_dtype=cfg.model.sample_dtype,
+        use_pallas=cfg.model.use_pallas,
+    )
+
+
+def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
+    cfg = config if config is not None else load_config()
+
+    checkpoint_dir = repo_root() / cfg.paths.checkpoints
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    base_path = checkpoint_dir / "base_flow_final.npz"
+    base_model = _build_base_model(cfg)
+    if base_path.exists():
+        log.info("Loading base model from: %s", base_path)
+        base_model.load(str(base_path))
+    else:
+        log.warning(
+            "Trained base model not found (%s). Run train_base first. "
+            "Using an untrained base model for demo...",
+            base_path,
+        )
+
+    log.info("=" * 60)
+    log.info("TRAINING RECTIFIED MODEL (Single Reflow)")
+    log.info("=" * 60)
+
+    rect_model = RectifiedFlowModel.from_base_model(base_model)
+
+    num_pairs = min(1000, cfg.data.num_mock_images * 10)
+    x0_data, x1_data = generate_reflow_pairs(
+        base_model,
+        num_pairs=num_pairs,
+        num_steps=cfg.training_base.num_timesteps // 10,
+        data_format="NHWC",
+    )
+
+    losses = train_rectified_flow(
+        model=rect_model,
+        x0_data=x0_data,
+        x1_data=x1_data,
+        epochs=cfg.training_rectified.epochs,
+        batch_size=cfg.training_rectified.batch_size,
+        lr=cfg.training_rectified.learning_rate,
+        save_path=str(checkpoint_dir / "rectified_flow_k1"),
+        save_every=cfg.training_rectified.save_every,
+        data_format="NHWC",
+        mesh=mesh,
+    )
+
+    np.save(str(checkpoint_dir / "rectified_flow_k1_losses.npy"), losses)
+
+    num_reflow_iters = cfg.training_rectified.num_reflow_iterations
+    if num_reflow_iters > 1:
+        log.info("=" * 60)
+        log.info("TRAINING ITERATIVE REFLOW (K=%d)", num_reflow_iters)
+        log.info("=" * 60)
+        models = iterative_reflow(
+            initial_model=base_model,
+            num_iterations=num_reflow_iters,
+            epochs_per_iter=cfg.training_rectified.epochs // num_reflow_iters,
+            num_pairs=num_pairs,
+            teacher_steps=100,
+            lr=cfg.training_rectified.learning_rate,
+            save_dir=str(checkpoint_dir),
+            mesh=mesh,
+        )
+        log.info("Created %d iteratively rectified models", len(models))
+
+    log.info("Reflow training completed!")
+    log.info("Model saved to: %s", checkpoint_dir / "rectified_flow_k1_final.npz")
+
+    # Straightness comparison (the reference intends this at :128-139 but
+    # drops the base value; report both here).
+    log.info("Comparing trajectory straightness...")
+    key = jax.random.key(42)
+    x0_test = np.asarray(
+        jax.random.normal(
+            key, (4, cfg.data.image_size, cfg.data.image_size, 3)
+        )
+    )
+    x1_test = np.asarray(
+        jax.device_get(
+            base_model.sample(noise=x0_test, num_steps=100, data_format="NHWC")
+        )
+    )
+    base_straightness = RectifiedFlowModel.compute_straightness(
+        base_model, x0_test, x1_test, data_format="NHWC"
+    )
+    rect_straightness = rect_model.compute_straightness(
+        x0_test, x1_test, data_format="NHWC"
+    )
+    log.info("Base model straightness:      %.4f", base_straightness)
+    log.info("Rectified model straightness: %.4f", rect_straightness)
+    log.info("(Lower value = straighter trajectories)")
+    return rect_model
+
+
+if __name__ == "__main__":
+    main()

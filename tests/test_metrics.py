@@ -1,0 +1,136 @@
+"""Metrics tests: superset of the reference's test_utils.py suite."""
+
+import numpy as np
+import pytest
+
+from rectified_flow_vision_tpu.utils.metrics import MetricsCalculator
+from rectified_flow_vision_tpu.utils.ssim import structural_similarity
+
+
+@pytest.fixture
+def calculator():
+    return MetricsCalculator(device="cpu")
+
+
+class TestMetricsCalculator:
+    """Mirrors reference tests/test_utils.py:17-73 against our impl."""
+
+    def test_calculator_initialization(self, calculator):
+        assert calculator.device == "cpu"
+        assert calculator._lpips_model is None  # lazy
+
+    def test_ssim_identical(self, calculator):
+        img = np.random.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        assert calculator.compute_ssim(img, img) > 0.99
+
+    def test_ssim_different(self, calculator):
+        img1 = np.zeros((64, 64, 3), dtype=np.uint8)
+        img2 = np.ones((64, 64, 3), dtype=np.uint8) * 255
+        assert calculator.compute_ssim(img1, img2) < 0.5
+
+    def test_ssim_shape_mismatch(self, calculator):
+        img1 = np.random.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        img2 = np.random.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            calculator.compute_ssim(img1, img2)
+
+    def test_ssim_grayscale(self, calculator):
+        img = np.random.randint(0, 255, (32, 32), dtype=np.uint8)
+        assert calculator.compute_ssim(img, img) > 0.99
+
+    def test_fid_statistics_shape(self, calculator):
+        images = np.random.randn(10, 3, 64, 64).astype(np.float32)
+        mu, sigma = calculator.compute_fid_statistics(images)
+        n = 3 * 64 * 64
+        assert mu.shape == (n,)
+        assert sigma.shape == (n, n)
+
+    def test_fid_identical_batches(self, calculator):
+        images = np.random.randn(10, 3, 32, 32).astype(np.float32)
+        assert calculator.compute_fid(images, images) < 1.0
+
+    def test_fid_different_batches(self, calculator):
+        images1 = np.random.randn(10, 3, 32, 32).astype(np.float32)
+        images2 = np.random.randn(10, 3, 32, 32).astype(np.float32) * 2 + 1
+        assert calculator.compute_fid(images1, images2) > 0
+
+    def test_fid_orders_distances(self, calculator):
+        """Closer distributions must get lower FID."""
+        base = np.random.randn(20, 3, 16, 16).astype(np.float32)
+        near = base + np.random.randn(*base.shape).astype(np.float32) * 0.1
+        far = np.random.randn(20, 3, 16, 16).astype(np.float32) * 3 + 2
+        assert calculator.compute_fid(base, near) < calculator.compute_fid(base, far)
+
+    def test_fid_custom_feature_fn(self, calculator):
+        imgs = np.random.randn(10, 3, 8, 8).astype(np.float32)
+        feat = lambda x: x.reshape(x.shape[0], -1)[:, :16]  # noqa: E731
+        fid = calculator.compute_fid(imgs, imgs, feature_fn=feat)
+        assert fid < 1.0
+
+    def test_lpips_nan_fallback(self, calculator):
+        """No pretrained weights in this environment => NaN (reference
+        semantics, metrics.py:33-36,66-67)."""
+        a = np.random.randn(2, 3, 32, 32).astype(np.float32)
+        out = calculator.compute_lpips(a, a)
+        assert np.isnan(out) or out < 1e-5  # NaN without weights; ~0 with
+
+
+class TestSSIMImplementation:
+    def test_constant_images(self):
+        a = np.full((32, 32), 128.0)
+        assert structural_similarity(a, a, data_range=255) == pytest.approx(1.0)
+
+    def test_noise_robustness_monotonic(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (64, 64)).astype(np.float64)
+        small = np.clip(img + rng.normal(0, 5, img.shape), 0, 255)
+        large = np.clip(img + rng.normal(0, 60, img.shape), 0, 255)
+        s_small = structural_similarity(img, small, data_range=255)
+        s_large = structural_similarity(img, large, data_range=255)
+        assert s_small > s_large
+
+    def test_symmetry(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 255, (32, 32, 3)).astype(np.float64)
+        b = rng.integers(0, 255, (32, 32, 3)).astype(np.float64)
+        s1 = structural_similarity(a, b, channel_axis=2, data_range=255)
+        s2 = structural_similarity(b, a, channel_axis=2, data_range=255)
+        assert s1 == pytest.approx(s2)
+
+    def test_range(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 255, (32, 32)).astype(np.float64)
+        b = rng.integers(0, 255, (32, 32)).astype(np.float64)
+        s = structural_similarity(a, b, data_range=255)
+        assert -1.0 <= s <= 1.0
+
+
+class TestImageProcessing:
+    """Reference tests/test_utils.py:76-95 parity."""
+
+    def test_tensor_normalization(self):
+        img = np.random.rand(1, 3, 64, 64)
+        normalized = img * 2 - 1
+        assert normalized.min() >= -1 and normalized.max() <= 1
+
+    def test_tensor_denormalization(self):
+        normalized = np.clip(np.random.randn(1, 3, 64, 64), -1, 1)
+        denorm = (normalized + 1) / 2
+        assert denorm.min() >= 0 and denorm.max() <= 1
+
+
+class TestDataLoading:
+    """Reference tests/test_utils.py:146-167 parity (JAX PRNG)."""
+
+    def test_batch_shapes(self):
+        batch = np.random.randn(4, 3, 64, 64)
+        assert batch.shape == (4, 3, 64, 64)
+
+    def test_noise_distribution(self):
+        import jax
+
+        noise = np.asarray(
+            jax.random.normal(jax.random.key(42), (1000, 3, 32, 32))
+        )
+        assert abs(noise.mean()) < 0.1
+        assert abs(noise.std() - 1.0) < 0.1
