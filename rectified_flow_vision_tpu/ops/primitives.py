@@ -62,13 +62,20 @@ def groupnorm_init(ch: int, dtype=jnp.float32) -> dict:
 
 
 def conv2d(x: Array, p: dict, *, stride: int = 1) -> Array:
-    """NHWC conv with SAME padding (all reference convs are 3x3/pad1 or 1x1)."""
+    """NHWC conv with torch-style symmetric padding k//2.
+
+    All reference convs are 3x3/pad1 or 1x1/pad0 (reference: models/unet.py).
+    Explicit symmetric padding, NOT XLA "SAME": for stride-2 "SAME" pads
+    asymmetrically (0 low / 1 high on even sizes) while torch pads (1, 1),
+    which would misalign imported .pt checkpoints.
+    """
     w = p["w"].astype(x.dtype)
+    kh, kw = w.shape[0], w.shape[1]
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
