@@ -427,12 +427,19 @@ def train_base_flow(
     seed: int = 0,
     ckpt_ext: str = ".npz",
     progress: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
     ``dataloader`` may be an ImageDataset (preferred: reshuffled per epoch
     with a per-epoch seed; requires ``batch_size``) or any re-iterable of
     NHWC numpy batches. Returns the per-epoch mean losses.
+
+    With ``resume_dir``, the full train state (params + optimizer state +
+    loss history) is checkpointed there asynchronously each ``save_every``
+    epochs, and an interrupted run restarts from the latest state — a
+    failure-recovery capability the reference lacks (save-only,
+    base_flow.py:210-226).
     """
     from rectified_flow_vision_tpu.data.dataset import ImageDataset
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
@@ -461,8 +468,24 @@ def train_base_flow(
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    state_mgr = None
+    if resume_dir is not None:
+        from rectified_flow_vision_tpu.utils.train_state import TrainStateManager
+
+        state_mgr = TrainStateManager(resume_dir)
+        restored = state_mgr.restore(params, opt_state)
+        if restored is not None:
+            params, opt_state, losses, start_epoch = restored
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+            if mesh is not None:
+                params = mesh_lib.shard_params(mesh, params)
+                opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+            log.info("Resumed training from epoch %d (%s)", start_epoch, resume_dir)
+
+    for epoch in range(start_epoch, epochs):
         if is_dataset:
             batches = dataloader.batches(batch_size, seed=seed * 100003 + epoch)
         else:
@@ -495,9 +518,15 @@ def train_base_flow(
         model.params = params
         if save_path and (epoch + 1) % save_every == 0:
             model.save(f"{save_path}_epoch{epoch + 1}{ckpt_ext}")
+        if state_mgr is not None and (epoch + 1) % save_every == 0:
+            state_mgr.save(epoch, params, opt_state, losses)
 
     model.params = params
     if save_path:
         model.save(f"{save_path}_final{ckpt_ext}")
+    if state_mgr is not None:
+        if epochs > start_epoch:
+            state_mgr.save(epochs - 1, params, opt_state, losses)
+        state_mgr.close()
 
     return losses

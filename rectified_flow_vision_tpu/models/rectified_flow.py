@@ -194,6 +194,7 @@ def train_rectified_flow(
     data_format: str = "NCHW",
     ckpt_ext: str = ".npz",
     progress: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> List[float]:
     """Train the student on pre-generated couplings (reference:
     rectified_flow.py:177-255): same AdamW/cosine/clip recipe as the base
@@ -218,9 +219,25 @@ def train_rectified_flow(
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
+    start_epoch = 0
+    state_mgr = None
+    if resume_dir is not None:
+        from rectified_flow_vision_tpu.utils.train_state import TrainStateManager
+
+        state_mgr = TrainStateManager(resume_dir)
+        restored = state_mgr.restore(params, opt_state)
+        if restored is not None:
+            params, opt_state, losses, start_epoch = restored
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+            if mesh is not None:
+                params = mesh_lib.shard_params(mesh, params)
+                opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+            log.info("Resumed reflow training from epoch %d", start_epoch)
+
     import time as _time
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         order = np.random.default_rng(seed * 99991 + epoch).permutation(n)
         epoch_key = jax.random.fold_in(root_key, epoch)
 
@@ -255,10 +272,16 @@ def train_rectified_flow(
         model.params = params
         if save_path and (epoch + 1) % save_every == 0:
             model.save(f"{save_path}_epoch{epoch + 1}{ckpt_ext}")
+        if state_mgr is not None and (epoch + 1) % save_every == 0:
+            state_mgr.save(epoch, params, opt_state, losses)
 
     model.params = params
     if save_path:
         model.save(f"{save_path}_final{ckpt_ext}")
+    if state_mgr is not None:
+        if epochs > start_epoch:
+            state_mgr.save(epochs - 1, params, opt_state, losses)
+        state_mgr.close()
 
     return losses
 

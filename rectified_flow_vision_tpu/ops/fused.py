@@ -72,11 +72,20 @@ def _gn_silu_bwd(num_groups, res, g):
 _gn_silu_pallas.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
+# Max per-image (H*W, C) slab size the single-pass gn_silu kernel may hold in
+# VMEM. Mosaic double-buffers in/out blocks and keeps several fp32 temporaries
+# (~8x the block), so blocks beyond ~1.5 MB blow the 16 MB scoped-VMEM limit
+# (observed: 64x64x192 fp32 slab -> 23.97 MB scoped alloc). Larger slabs take
+# the XLA path, whose own GN+SiLU fusion handles them without staging.
+_GN_SILU_MAX_SLAB_BYTES = 1_572_864
+
+
 def gn_silu(
     x: Array, p: dict, *, num_groups: int = 8, use_pallas: bool = False
 ) -> Array:
     """Fused GroupNorm(num_groups) + SiLU over an NHWC tensor."""
-    if use_pallas and pallas_available():
+    slab_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4  # fp32 compute
+    if use_pallas and pallas_available() and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES:
         return _gn_silu_pallas(x, p["scale"], p["bias"], num_groups)
     return _gn_silu_xla(x, p["scale"], p["bias"], num_groups)
 
