@@ -77,6 +77,13 @@ class BaseFlowModel:
         attention_resolutions: Sequence[int] = (16, 8),
         dropout: float = 0.1,
         *,
+        backbone: str = "unet",
+        patch_size: int = 2,
+        hidden_size: int = 384,
+        depth: int = 12,
+        num_heads: int = 6,
+        mlp_ratio: float = 4.0,
+        dit_size: Optional[str] = None,
         seed: int = 0,
         params: Optional[Params] = None,
         compute_dtype: str = "float32",
@@ -87,15 +94,32 @@ class BaseFlowModel:
     ):
         self.image_size = image_size
         self.in_channels = in_channels
-        self.velocity_net = UNet(
-            in_channels=in_channels,
-            model_channels=model_channels,
-            out_channels=in_channels,
-            channel_mult=channel_mult,
-            num_res_blocks=num_res_blocks,
-            attention_resolutions=attention_resolutions,
-            dropout=dropout,
-        )
+        self.backbone = backbone
+        if backbone == "dit":
+            from rectified_flow_vision_tpu.models.dit import DiT
+
+            self.velocity_net = DiT(
+                input_size=image_size,
+                patch_size=patch_size,
+                in_channels=in_channels,
+                hidden_size=hidden_size,
+                depth=depth,
+                num_heads=num_heads,
+                mlp_ratio=mlp_ratio,
+                size=dit_size,
+            )
+        elif backbone == "unet":
+            self.velocity_net = UNet(
+                in_channels=in_channels,
+                model_channels=model_channels,
+                out_channels=in_channels,
+                channel_mult=channel_mult,
+                num_res_blocks=num_res_blocks,
+                attention_resolutions=attention_resolutions,
+                dropout=dropout,
+            )
+        else:
+            raise ValueError(f"unknown backbone {backbone!r} (unet|dit)")
         self.compute_dtype = _DTYPES[compute_dtype]
         self.sample_dtype = _DTYPES[sample_dtype]
         self.use_pallas = fused.resolve_use_pallas(use_pallas)
@@ -112,16 +136,29 @@ class BaseFlowModel:
     @property
     def config(self) -> dict:
         c = self.velocity_net.cfg
-        return {
+        base = {
             "model_type": type(self).__name__,
             "image_size": self.image_size,
             "in_channels": self.in_channels,
-            "model_channels": c.model_channels,
-            "channel_mult": list(c.channel_mult),
-            "num_res_blocks": c.num_res_blocks,
-            "attention_resolutions": list(c.attention_resolutions),
-            "dropout": c.dropout,
+            "backbone": self.backbone,
         }
+        if self.backbone == "dit":
+            base.update(
+                patch_size=c.patch_size,
+                hidden_size=c.hidden_size,
+                depth=c.depth,
+                num_heads=c.num_heads,
+                mlp_ratio=c.mlp_ratio,
+            )
+        else:
+            base.update(
+                model_channels=c.model_channels,
+                channel_mult=list(c.channel_mult),
+                num_res_blocks=c.num_res_blocks,
+                attention_resolutions=list(c.attention_resolutions),
+                dropout=c.dropout,
+            )
+        return base
 
     def num_parameters(self) -> int:
         return count_parameters(self.params)

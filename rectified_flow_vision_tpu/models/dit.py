@@ -1,0 +1,261 @@
+"""DiT (Diffusion Transformer) velocity-field backbone, TPU-native.
+
+The reference ships only the small UNet (reference: models/unet.py); the
+scaled config set targets "DiT-S/2 backbone rectified flow at 256x256
+latents, pod-scale training + sampling" (BASELINE.json configs[4]). This is
+a from-scratch JAX implementation of the DiT architecture (Peebles &
+Xie, 2023) adapted as a flow-matching velocity field:
+
+* patchify via a patch x patch conv, learned positional embedding,
+* N pre-LN transformer blocks with adaLN-Zero conditioning on t: each
+  block's LayerNorms are affine-free and modulated by (shift, scale, gate)
+  regressed from the time embedding with zero-initialised projections, so
+  every block starts as the identity,
+* attention uses the Pallas TPU flash-attention kernel for long sequences
+  (128x128 = 16384 tokens at 256x256/patch-2) with an XLA fallback below a
+  sequence-length threshold and on non-TPU backends,
+* final adaLN + zero-initialised linear head -> unpatchify.
+
+Exposes the same backbone protocol as UNet (init/apply/cfg), so
+``BaseFlowModel(backbone="dit", ...)`` swaps it in for the whole training /
+reflow / benchmark stack.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rectified_flow_vision_tpu.ops import primitives as P
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+# Below this sequence length plain XLA attention beats the flash kernel's
+# overhead; above it the blocked kernel is required to avoid materialising
+# the T^2 logits.
+_FLASH_MIN_SEQ = 1024
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    input_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 384  # DiT-S
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.input_size // self.patch_size) ** 2
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels
+
+
+# DiT size table (hidden, depth, heads)
+DIT_SIZES = {
+    "S": (384, 12, 6),
+    "B": (768, 12, 12),
+    "L": (1024, 24, 16),
+    "XL": (1152, 28, 16),
+}
+
+
+def _zeros_dense(in_dim: int, out_dim: int) -> dict:
+    """Zero-initialised projection (adaLN-Zero / output head)."""
+    return {
+        "w": jnp.zeros((in_dim, out_dim), jnp.float32),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def _xavier_dense(key: Array, in_dim: int, out_dim: int) -> dict:
+    bound = math.sqrt(6.0 / (in_dim + out_dim))
+    return {
+        "w": jax.random.uniform(
+            key, (in_dim, out_dim), jnp.float32, minval=-bound, maxval=bound
+        ),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def _layer_norm(x: Array, eps: float = 1e-6) -> Array:
+    """Affine-free LayerNorm (adaLN supplies the affine)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _modulate(x: Array, shift: Array, scale: Array) -> Array:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _attention(q: Array, k: Array, v: Array, *, use_flash: bool) -> Array:
+    """[B, T, H, D] attention; flash kernel for long sequences on TPU."""
+    b, t, h, d = q.shape
+    if use_flash and t >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        out = fa.flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=False,
+            sm_scale=1.0 / math.sqrt(d),
+        )
+        return out.transpose(0, 2, 1, 3)
+
+    scale = 1.0 / math.sqrt(d)
+    logits = (
+        jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhts,bshd->bthd", attn, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+class DiT:
+    """Functional DiT: params = dit.init(key); v = dit.apply(params, x, t)."""
+
+    def __init__(
+        self,
+        input_size: int = 32,
+        patch_size: int = 2,
+        in_channels: int = 4,
+        hidden_size: int = 384,
+        depth: int = 12,
+        num_heads: int = 6,
+        mlp_ratio: float = 4.0,
+        size: Optional[str] = None,
+    ):
+        if size is not None:
+            hidden_size, depth, num_heads = DIT_SIZES[size.upper()]
+        self.cfg = DiTConfig(
+            input_size=input_size,
+            patch_size=patch_size,
+            in_channels=in_channels,
+            hidden_size=hidden_size,
+            depth=depth,
+            num_heads=num_heads,
+            mlp_ratio=mlp_ratio,
+        )
+
+    # ---- init --------------------------------------------------------------
+
+    def init(self, key: Array) -> Params:
+        cfg = self.cfg
+        h = cfg.hidden_size
+        mlp_dim = int(h * cfg.mlp_ratio)
+        keys = iter(jax.random.split(key, 8 + 4 * cfg.depth))
+
+        params: Params = {
+            "patch_embed": P.conv_init(
+                next(keys), cfg.patch_size, cfg.patch_size, cfg.in_channels, h
+            ),
+            "pos_embed": jax.random.normal(
+                next(keys), (1, cfg.num_patches, h), jnp.float32
+            )
+            * 0.02,
+            "t_embed": {
+                "lin1": _xavier_dense(next(keys), 256, h),
+                "lin2": _xavier_dense(next(keys), h, h),
+            },
+        }
+
+        blocks: Params = {}
+        for i in range(cfg.depth):
+            blocks[str(i)] = {
+                "qkv": _xavier_dense(next(keys), h, 3 * h),
+                "proj": _xavier_dense(next(keys), h, h),
+                "mlp1": _xavier_dense(next(keys), h, mlp_dim),
+                "mlp2": _xavier_dense(next(keys), mlp_dim, h),
+                # adaLN-Zero: 6h modulation, zero init => identity block
+                "ada": _zeros_dense(h, 6 * h),
+            }
+        params["blocks"] = blocks
+
+        params["final"] = {
+            "ada": _zeros_dense(h, 2 * h),
+            "linear": _zeros_dense(
+                h, cfg.patch_size * cfg.patch_size * cfg.out_channels
+            ),
+        }
+        return params
+
+    # ---- apply -------------------------------------------------------------
+
+    def _time_embedding(self, params: Params, t: Array, dtype) -> Array:
+        # 256-dim sinusoidal basis -> MLP, matching DiT's TimestepEmbedder
+        # shape; t in [0,1] is used directly (flow-matching convention).
+        emb = P.sinusoidal_time_embedding(t, 256).astype(dtype)
+        emb = P.dense(emb, params["t_embed"]["lin1"])
+        emb = P.silu(emb)
+        return P.dense(emb, params["t_embed"]["lin2"])
+
+    def apply(
+        self,
+        params: Params,
+        x: Array,
+        t: Array,
+        *,
+        train: bool = False,
+        rng: Optional[Array] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        use_pallas: bool = True,
+    ) -> Array:
+        """Velocity prediction. x: [B, H, W, C] NHWC latents; t: [B]."""
+        cfg = self.cfg
+        b, hh, ww, c = x.shape
+        p = cfg.patch_size
+        gh, gw = hh // p, ww // p
+
+        x = x.astype(compute_dtype)
+        tokens = P.conv2d(x, params["patch_embed"], stride=p)  # [B, gh, gw, h]
+        tokens = tokens.reshape(b, gh * gw, cfg.hidden_size)
+        tokens = tokens + params["pos_embed"].astype(compute_dtype)
+
+        c_emb = self._time_embedding(params, t, compute_dtype)  # [B, h]
+
+        nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        for i in range(cfg.depth):
+            blk = params["blocks"][str(i)]
+            mod = P.dense(P.silu(c_emb), blk["ada"])  # [B, 6h]
+            (
+                shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
+            ) = jnp.split(mod, 6, axis=-1)
+            # attention branch
+            hmod = _modulate(_layer_norm(tokens), shift_msa, scale_msa)
+            qkv = P.dense(hmod, blk["qkv"]).reshape(b, gh * gw, 3, nh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            att = _attention(q, k, v, use_flash=use_pallas)
+            att = P.dense(att.reshape(b, gh * gw, cfg.hidden_size), blk["proj"])
+            tokens = tokens + gate_msa[:, None, :] * att
+            # MLP branch
+            hmod = _modulate(_layer_norm(tokens), shift_mlp, scale_mlp)
+            hmod = P.dense(hmod, blk["mlp1"])
+            hmod = jax.nn.gelu(hmod, approximate=True)
+            hmod = P.dense(hmod, blk["mlp2"])
+            tokens = tokens + gate_mlp[:, None, :] * hmod
+
+        # final adaLN + zero-init head
+        mod = P.dense(P.silu(c_emb), params["final"]["ada"])
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        tokens = _modulate(_layer_norm(tokens), shift, scale)
+        out = P.dense(tokens, params["final"]["linear"])  # [B, T, p*p*C]
+
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
+        return out
+
+    __call__ = apply

@@ -64,17 +64,16 @@ class RectifiedFlowModel(BaseFlowModel):
 
         ``copy_weights=False`` matches the reference default (the weight
         copy is deliberately commented out at rectified_flow.py:77-78).
+        Works for any backbone (unet or dit).
         """
-        c = base_model.velocity_net.cfg
+        cfg = dict(base_model.config)
+        cfg.pop("model_type", None)
+        cfg.pop("reflow_iteration", None)
         student = RectifiedFlowModel(
-            image_size=base_model.image_size,
-            in_channels=base_model.in_channels,
-            model_channels=c.model_channels,
-            channel_mult=c.channel_mult,
-            num_res_blocks=c.num_res_blocks,
-            attention_resolutions=c.attention_resolutions,
-            dropout=c.dropout,
             seed=seed,
+            compute_dtype=jnp.dtype(base_model.compute_dtype).name,
+            sample_dtype=jnp.dtype(base_model.sample_dtype).name,
+            **cfg,
         )
         if copy_weights:
             student.params = jax.tree_util.tree_map(

@@ -71,11 +71,13 @@ def conv2d(x: Array, p: dict, *, stride: int = 1) -> Array:
     """
     w = p["w"].astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
+    # (k-1)//2: torch's pad=k//2 for odd kernels, and 0 for even kernels
+    # (patchify convs), where any padding would be wrong.
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        padding=(((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )

@@ -85,6 +85,7 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
 # Conv kernels are HWIO: shard the Out channel. Dense kernels are (In, Out).
 # Norm scale/bias and biases follow the out-channel sharding of their layer.
 _TP_RULES = [
+    # --- UNet -------------------------------------------------------------
     # attention qkv/proj dense: shard heads via the out dim of qkv, in dim of proj
     (re.compile(r".*mid_attn/qkv/w$"), P(None, MODEL_AXIS)),
     (re.compile(r".*mid_attn/qkv/b$"), P(MODEL_AXIS)),
@@ -95,6 +96,13 @@ _TP_RULES = [
     (re.compile(r".*time_mlp/lin2/w$"), P(MODEL_AXIS, None)),
     # res-block time projections: shard the In (= 4C hidden) dim
     (re.compile(r".*/time/w$"), P(MODEL_AXIS, None)),
+    # --- DiT (Megatron-style: column-parallel in, row-parallel out) --------
+    (re.compile(r".*blocks/\d+/qkv/w$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*blocks/\d+/qkv/b$"), P(MODEL_AXIS)),
+    (re.compile(r".*blocks/\d+/proj/w$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*blocks/\d+/mlp1/w$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*blocks/\d+/mlp1/b$"), P(MODEL_AXIS)),
+    (re.compile(r".*blocks/\d+/mlp2/w$"), P(MODEL_AXIS, None)),
 ]
 
 
