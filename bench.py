@@ -41,20 +41,24 @@ def main() -> None:
 
     key = jax.random.key(0)
     noise = jax.random.normal(key, (batch, image_size, image_size, 3), jnp.float32)
+    sampler = model._get_sampler(num_steps, False, model.sample_dtype)
 
-    # Warmup: compile the scan executable.
-    out = model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
-    jax.block_until_ready(out)
+    # Warmup: compile the scan executable; scalar fetch forces completion
+    # (under remote-execution tunnels block_until_ready can return before
+    # the device finishes, so all timing here closes over a dependency
+    # chain ended by a scalar readback).
+    x = sampler(model.params, noise)
+    float(jnp.sum(x))
 
+    chain = 8  # iterations per timed window, output feeding next input
     times = []
-    for run in range(num_runs):
-        k = jax.random.fold_in(key, run + 1)
-        n = jax.random.normal(k, noise.shape, jnp.float32)
-        jax.block_until_ready(n)
+    for _ in range(num_runs):
         t0 = time.perf_counter()
-        out = model.sample(noise=n, num_steps=num_steps, data_format="NHWC")
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        x = noise
+        for _ in range(chain):
+            x = sampler(model.params, x)
+        float(jnp.sum(x))  # sync
+        times.append((time.perf_counter() - t0) / chain)
 
     best = min(times)
     img_per_sec = batch / best

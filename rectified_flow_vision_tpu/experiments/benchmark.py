@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -72,6 +73,10 @@ def benchmark_speed(
                     model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
                 )
             jax.block_until_ready(outs)
+            # scalar readback: remote-execution tunnels can return from
+            # block_until_ready before the device finishes; TPU launches
+            # execute in order, so syncing the last output syncs them all
+            float(jnp.sum(outs[-1]))
             times.append(time.perf_counter() - start)
 
         avg_time, std_time = float(np.mean(times)), float(np.std(times))

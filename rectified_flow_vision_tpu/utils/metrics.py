@@ -104,22 +104,62 @@ class MetricsCalculator:
         sigma = np.cov(feats, rowvar=False)
         return mu, sigma
 
+    @staticmethod
+    def _features(images, feature_fn: Optional[Callable]) -> np.ndarray:
+        images = _to_numpy(images)
+        if feature_fn is not None:
+            feats = _to_numpy(feature_fn(images))
+        else:
+            feats = images.reshape(images.shape[0], -1)
+        return feats.astype(np.float64)
+
     def compute_fid(
         self,
         real_images,
         generated_images,
         feature_fn: Optional[Callable] = None,
     ) -> float:
-        """Frechet distance between feature statistics (lower is better)."""
-        mu1, sigma1 = self.compute_fid_statistics(real_images, feature_fn)
-        mu2, sigma2 = self.compute_fid_statistics(generated_images, feature_fn)
+        """Frechet distance between feature statistics (lower is better).
 
+        For high-dimensional features with few samples (raw 64x64 pixels =>
+        d=12288), forming d x d covariances and sqrtm(S1 S2) is O(d^3) — the
+        reference does exactly that and it dominates its benchmark
+        (reference: utils/metrics.py:110-116). Here the trace term is
+        computed EXACTLY from the n x n Gram matrix instead: the nonzero
+        eigenvalues of S1 S2 = (A^T A)(B^T B)/c equal those of
+        (A B^T)(B A^T)/c, so tr sqrt(S1 S2) = sum sqrt(eig) of an n1 x n1
+        matrix. Same value, ~d^3/n^3 times faster.
+        """
+        f1 = self._features(real_images, feature_fn)
+        f2 = self._features(generated_images, feature_fn)
+        n1, d = f1.shape
+        n2 = f2.shape[0]
+
+        mu1, mu2 = f1.mean(axis=0), f2.mean(axis=0)
         diff = mu1 - mu2
-        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-        fid = diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean)
-        return float(fid)
+        a = f1 - mu1  # (n1, d)
+        b = f2 - mu2  # (n2, d)
+        c1, c2 = max(n1 - 1, 1), max(n2 - 1, 1)
+
+        if d <= max(n1, n2) or d <= 256:
+            # small-d: direct covariances (exactly the reference recipe)
+            sigma1 = a.T @ a / c1
+            sigma2 = b.T @ b / c2
+            covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+            if np.iscomplexobj(covmean):
+                covmean = covmean.real
+            return float(
+                diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean)
+            )
+
+        tr_s1 = float(np.sum(a * a)) / c1
+        tr_s2 = float(np.sum(b * b)) / c2
+        # eigenvalues of (A B^T)(B A^T) / (c1 c2) == nonzero eigs of S1 S2
+        m = (a @ b.T) @ (b @ a.T) / (c1 * c2)  # (n1, n1)
+        eigs = np.linalg.eigvals(m)
+        eigs = np.where(np.real(eigs) > 0, np.real(eigs), 0.0)
+        tr_sqrt = float(np.sum(np.sqrt(eigs)))
+        return float(diff @ diff + tr_s1 + tr_s2 - 2.0 * tr_sqrt)
 
     # ---- speed -------------------------------------------------------------
 
@@ -163,6 +203,11 @@ class MetricsCalculator:
                     model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
                 )
             jax.block_until_ready(outs)
+            # scalar readback: under remote-execution tunnels
+            # block_until_ready may return before the device finishes
+            import jax.numpy as jnp
+
+            float(jnp.sum(outs[-1]))
             times.append(time.perf_counter() - start)
 
         total_time = float(np.mean(times))

@@ -134,3 +134,32 @@ class TestDataLoading:
         )
         assert abs(noise.mean()) < 0.1
         assert abs(noise.std() - 1.0) < 0.1
+
+
+class TestFIDFastPath:
+    """The low-rank Gram-matrix FID must equal the direct-covariance FID."""
+
+    def test_fast_equals_direct(self, calculator):
+        rng = np.random.default_rng(0)
+        f1 = rng.normal(0, 1, (12, 3, 24, 24)).astype(np.float32)
+        f2 = rng.normal(0.3, 1.2, (10, 3, 24, 24)).astype(np.float32)
+
+        fast = calculator.compute_fid(f1, f2)  # d=1728 >> n -> fast path
+
+        # direct reference computation
+        from scipy import linalg as sl
+
+        a = f1.reshape(12, -1).astype(np.float64)
+        b = f2.reshape(10, -1).astype(np.float64)
+        mu1, mu2 = a.mean(0), b.mean(0)
+        s1 = np.cov(a, rowvar=False)
+        s2 = np.cov(b, rowvar=False)
+        covmean, _ = sl.sqrtm(s1 @ s2, disp=False)
+        direct = float(
+            (mu1 - mu2) @ (mu1 - mu2) + np.trace(s1 + s2 - 2 * covmean.real)
+        )
+        assert abs(fast - direct) / max(abs(direct), 1e-9) < 1e-6
+
+    def test_fast_path_identical_batches_near_zero(self, calculator):
+        imgs = np.random.randn(8, 3, 64, 64).astype(np.float32)
+        assert calculator.compute_fid(imgs, imgs) < 1e-3
