@@ -51,16 +51,26 @@ def benchmark_speed(
     results = []
     key = jax.random.key(0)
 
+    # every distinct batch shape in the timed sweep (full batches + the
+    # remainder batch) must be compiled during warmup — a stale warmup shape
+    # puts a multi-second XLA compile inside the first timed window
+    warmup_batches = {batch_size}
+    if num_samples % batch_size:
+        warmup_batches.add(num_samples % batch_size)
+
     for num_steps in steps_list:
         times = []
         for run in range(num_runs):
             if run == 0:  # warmup/compile outside timing
-                noise = jax.random.normal(
-                    key, (batch_size, image_size, image_size, model.in_channels)
-                )
-                jax.block_until_ready(
-                    model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
-                )
+                for wb in warmup_batches:
+                    noise = jax.random.normal(
+                        key, (wb, image_size, image_size, model.in_channels)
+                    )
+                    out = model.sample(
+                        noise=noise, num_steps=num_steps, data_format="NHWC"
+                    )
+                    jax.block_until_ready(out)
+                    float(jnp.sum(out))
 
             start = time.perf_counter()
             outs = []

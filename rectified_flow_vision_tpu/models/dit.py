@@ -213,17 +213,33 @@ class DiT:
         rng: Optional[Array] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = True,
+        mesh=None,
+        seq_axis: Optional[str] = None,
     ) -> Array:
-        """Velocity prediction. x: [B, H, W, C] NHWC latents; t: [B]."""
+        """Velocity prediction. x: [B, H, W, C] NHWC latents; t: [B].
+
+        With ``mesh`` + ``seq_axis``, activations are token-sharded over the
+        given mesh axis (sequence parallelism) and attention runs as exact
+        ring attention over that axis (parallel/ring_attention.py); all
+        per-token ops (LN, adaLN, MLP) partition trivially under GSPMD.
+        """
         cfg = self.cfg
         b, hh, ww, c = x.shape
         p = cfg.patch_size
         gh, gw = hh // p, ww // p
 
+        seq_parallel = mesh is not None and seq_axis is not None
+        if seq_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            token_sharding = NamedSharding(mesh, PS(None, seq_axis, None))
+
         x = x.astype(compute_dtype)
         tokens = P.conv2d(x, params["patch_embed"], stride=p)  # [B, gh, gw, h]
         tokens = tokens.reshape(b, gh * gw, cfg.hidden_size)
         tokens = tokens + params["pos_embed"].astype(compute_dtype)
+        if seq_parallel:
+            tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
         c_emb = self._time_embedding(params, t, compute_dtype)  # [B, h]
 
@@ -238,7 +254,14 @@ class DiT:
             hmod = _modulate(_layer_norm(tokens), shift_msa, scale_msa)
             qkv = P.dense(hmod, blk["qkv"]).reshape(b, gh * gw, 3, nh, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            att = _attention(q, k, v, use_flash=use_pallas)
+            if seq_parallel:
+                from rectified_flow_vision_tpu.parallel.ring_attention import (
+                    ring_attention_sharded,
+                )
+
+                att = ring_attention_sharded(q, k, v, mesh, seq_axis=seq_axis)
+            else:
+                att = _attention(q, k, v, use_flash=use_pallas)
             att = P.dense(att.reshape(b, gh * gw, cfg.hidden_size), blk["proj"])
             tokens = tokens + gate_msa[:, None, :] * att
             # MLP branch

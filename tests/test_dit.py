@@ -160,3 +160,35 @@ class TestDiTParallel:
         )
         _, _, loss = step(params, opt_state, batch, jax.random.key(0))
         assert np.isfinite(float(loss))
+
+
+class TestDiTSequenceParallel:
+    def test_seq_parallel_matches_single(self, eight_devices):
+        """Token-sharded DiT forward (ring attention) == unsharded forward."""
+        import numpy as onp
+        from jax.sharding import Mesh
+
+        dit = DiT(
+            input_size=16, patch_size=2, in_channels=4,
+            hidden_size=32, depth=2, num_heads=4,
+        )
+        params = dit.init(jax.random.key(0))
+        # perturb so attention actually contributes (adaLN-zero init would
+        # make any attention bug invisible)
+        params = jax.tree_util.tree_map(
+            lambda a: a
+            + 0.02 * jax.random.normal(jax.random.key(9), a.shape, a.dtype),
+            params,
+        )
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+        t = jnp.array([0.2, 0.7])
+
+        want = np.asarray(dit.apply(params, x, t))
+
+        mesh = Mesh(onp.asarray(eight_devices).reshape(1, 8), ("data", "seq"))
+        got = np.asarray(
+            jax.jit(
+                lambda p, x, t: dit.apply(p, x, t, mesh=mesh, seq_axis="seq")
+            )(params, x, t)
+        )
+        np.testing.assert_allclose(want, got, rtol=2e-4, atol=2e-4)
