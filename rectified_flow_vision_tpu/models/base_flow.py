@@ -122,7 +122,15 @@ class BaseFlowModel:
             raise ValueError(f"unknown backbone {backbone!r} (unet|dit)")
         self.compute_dtype = _DTYPES[compute_dtype]
         self.sample_dtype = _DTYPES[sample_dtype]
-        self.use_pallas = fused.resolve_use_pallas(use_pallas)
+        if use_pallas is None:
+            # Measured on v5e: XLA's own fusion beats the per-image-grid
+            # Pallas gn_silu/attention kernels for the UNet (2194 vs 1174
+            # img/s at 64x64 4-step) — auto keeps them off there. The DiT
+            # path defaults on: its flash-attention kernel is required for
+            # long token sequences (>=1024) and is a no-op below that.
+            self.use_pallas = backbone == "dit" and fused.pallas_available()
+        else:
+            self.use_pallas = bool(use_pallas) and fused.pallas_available()
 
         self._rng = jax.random.key(seed)
         self.params: Params = (
