@@ -15,7 +15,9 @@ from typing import Optional
 import numpy as np
 
 from rectified_flow_vision_tpu.config import Config, load_config, repo_root
-from rectified_flow_vision_tpu.data import ImageDataset
+from rectified_flow_vision_tpu.data import ImageDataset  # noqa: F401 - public
+# re-export (the reference exposes ImageDataset/load_config from this module,
+# reference: experiments/train_base.py:20,49, and train_rectified imports them)
 from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
 from rectified_flow_vision_tpu.utils.logging_config import get_logger
 

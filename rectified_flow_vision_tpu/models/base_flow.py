@@ -52,6 +52,8 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.floa
 
 
 def _to_nhwc(x, data_format: str):
+    if hasattr(x, "detach"):  # torch tensor at the drop-in boundary
+        x = x.detach().cpu().numpy()
     x = jnp.asarray(x)
     if data_format.upper() == "NCHW":
         return jnp.transpose(x, (0, 2, 3, 1))
