@@ -52,6 +52,11 @@ def main() -> None:
         "--offline", action="store_true",
         help="Use synthetic data without internet connection",
     )
+    parser.add_argument(
+        "--config", default=None, metavar="YAML",
+        help="Config file (default: configs/config.yaml); e.g. "
+        "configs/config_cifar32.yaml or configs/config_dit256.yaml",
+    )
     args = parser.parse_args()
 
     logger.info("=" * 60)
@@ -63,7 +68,7 @@ def main() -> None:
     logger.info("Backend: %s", jax.default_backend())
     logger.info("Devices: %s", jax.devices())
 
-    config = load_config()
+    config = load_config(args.config)
     if args.quick:
         logger.info("QUICK MODE activated - Reduced configuration for demo")
         config = quick_overlay(config)
@@ -76,7 +81,7 @@ def main() -> None:
         logger.info("=" * 60)
         from rectified_flow_vision_tpu.utils.download_data import download_data
 
-        download_data(use_online=not args.offline)
+        download_data(use_online=not args.offline, config_path=args.config)
 
     # STEP 2 + 3: training
     if not args.skip_training:

@@ -138,17 +138,9 @@ def benchmark_quality(model, reference_images, num_steps: int):
 
 
 def _load_model(cls, cfg: Config, path: Path, name: str):
-    model = cls(
-        image_size=cfg.data.image_size,
-        model_channels=cfg.model.channels,
-        channel_mult=cfg.model.channel_mult,
-        num_res_blocks=cfg.model.num_res_blocks,
-        attention_resolutions=cfg.model.attention_resolutions,
-        dropout=cfg.model.dropout,
-        compute_dtype=cfg.model.compute_dtype,
-        sample_dtype=cfg.model.sample_dtype,
-        use_pallas=cfg.model.use_pallas,
-    )
+    from rectified_flow_vision_tpu.experiments.train_base import build_model
+
+    model = build_model(cfg, cls)
     if path.exists():
         model.load(str(path))
         log.info("%s model loaded from checkpoint", name)
@@ -285,6 +277,63 @@ def main(config: Optional[Config] = None) -> pd.DataFrame:
     all_results = {"base_model": base_results, "rectified_model": rect_results}
     plot_speed_comparison(all_results, save_path=str(results_dir / "speed_comparison.png"))
     create_summary_report(all_results, str(results_dir))
+
+    # quality-vs-speed trade-off scatter (dead code in the reference,
+    # benchmark.py:86-118 + visualization.py:74-110 — live here)
+    if quality_rows:
+        from rectified_flow_vision_tpu.utils import plot_quality_vs_speed
+
+        speed_by_steps = {
+            r["num_steps"]: r["images_per_second"] for r in rect_results
+        }
+        q_steps = [
+            r["num_steps"] for r in quality_rows
+            if r["model"] == "base" and r["num_steps"] in speed_by_steps
+        ]
+        quality_payload = {
+            "base_model": [
+                {"num_steps": s, "images_per_second": next(
+                    br["images_per_second"] for br in base_results
+                    if br["num_steps"] == s)}
+                for s in q_steps
+            ],
+            "rectified_model": [
+                {"num_steps": s, "images_per_second": speed_by_steps[s]}
+                for s in q_steps
+            ],
+            "quality": {
+                "base_model": [
+                    r["fid_simple"] for r in quality_rows
+                    if r["model"] == "base" and r["num_steps"] in q_steps
+                ],
+                "rectified_model": [
+                    r["fid_simple"] for r in quality_rows
+                    if r["model"] == "rectified" and r["num_steps"] in q_steps
+                ],
+            },
+        }
+        plot_quality_vs_speed(
+            quality_payload,
+            quality_metric="fid",
+            save_path=str(results_dir / "quality_vs_speed.png"),
+        )
+
+    # trajectory strips (dead in the reference, visualization.py:161-207)
+    traj_noise = jax.random.normal(jax.random.key(11), (1, image_size, image_size, 3))
+    base_traj = base_model.sample_with_trajectory(
+        traj_noise, num_steps=20, save_every=5, data_format="NHWC"
+    )
+    rect_traj = rect_model.sample_with_trajectory(
+        traj_noise, num_steps=20, save_every=5, data_format="NHWC"
+    )
+    from rectified_flow_vision_tpu.utils import plot_trajectory_comparison
+
+    plot_trajectory_comparison(
+        [np.asarray(jax.device_get(s)) for s in base_traj],
+        [np.asarray(jax.device_get(s)) for s in rect_traj],
+        save_path=str(results_dir / "trajectory_comparison.png"),
+        data_format="NHWC",
+    )
 
     # ---- conclusions (reference heuristic, benchmark.py:287-306) -----------
     log.info("=" * 60)

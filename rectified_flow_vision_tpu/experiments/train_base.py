@@ -24,8 +24,45 @@ from rectified_flow_vision_tpu.utils.logging_config import get_logger
 log = get_logger("flow_vision.train_base")
 
 
+def build_model(cfg: Config, cls=BaseFlowModel):
+    """Construct the configured model (unet or dit backbone)."""
+    kwargs = dict(
+        image_size=cfg.data.image_size,
+        compute_dtype=cfg.model.compute_dtype,
+        sample_dtype=cfg.model.sample_dtype,
+        use_pallas=cfg.model.use_pallas,
+        backbone=cfg.model.backbone,
+    )
+    if cfg.model.backbone == "dit":
+        kwargs.update(in_channels=3)  # pixel-space DiT unless a VAE is wired
+    else:
+        kwargs.update(
+            model_channels=cfg.model.channels,
+            channel_mult=cfg.model.channel_mult,
+            num_res_blocks=cfg.model.num_res_blocks,
+            attention_resolutions=cfg.model.attention_resolutions,
+            dropout=cfg.model.dropout,
+        )
+    return cls(**kwargs)
+
+
+def default_mesh(cfg: Config):
+    """Mesh from the config's parallel section; None on a single device."""
+    import jax
+
+    from rectified_flow_vision_tpu.parallel import create_mesh
+
+    if len(jax.devices()) == 1 and cfg.parallel.model_axis == 1:
+        return None
+    return create_mesh(
+        data_axis=cfg.parallel.data_axis, model_axis=cfg.parallel.model_axis
+    )
+
+
 def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
     cfg = config if config is not None else load_config()
+    if mesh is None:
+        mesh = default_mesh(cfg)
 
     checkpoint_dir = repo_root() / cfg.paths.checkpoints
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
@@ -33,23 +70,17 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
     data_dir = repo_root() / cfg.data.data_dir
     if not data_dir.exists() or not any(data_dir.iterdir()):
         log.info("No data found; generating synthetic data for demo...")
-        from rectified_flow_vision_tpu.utils.download_data import download_data
+        from rectified_flow_vision_tpu.utils.download_data import (
+            generate_synthetic_images,
+        )
 
-        download_data(use_online=False)
+        generate_synthetic_images(
+            str(data_dir), cfg.data.num_mock_images, cfg.data.image_size
+        )
 
     dataset = ImageDataset(str(data_dir), cfg.data.image_size)
 
-    model = BaseFlowModel(
-        image_size=cfg.data.image_size,
-        model_channels=cfg.model.channels,
-        channel_mult=cfg.model.channel_mult,
-        num_res_blocks=cfg.model.num_res_blocks,
-        attention_resolutions=cfg.model.attention_resolutions,
-        dropout=cfg.model.dropout,
-        compute_dtype=cfg.model.compute_dtype,
-        sample_dtype=cfg.model.sample_dtype,
-        use_pallas=cfg.model.use_pallas,
-    )
+    model = build_model(cfg)
     log.info("Model created with %s parameters", f"{model.num_parameters():,}")
 
     log.info("=" * 60)

@@ -29,21 +29,17 @@ log = get_logger("flow_vision.train_rectified")
 
 
 def _build_base_model(cfg: Config) -> BaseFlowModel:
-    return BaseFlowModel(
-        image_size=cfg.data.image_size,
-        model_channels=cfg.model.channels,
-        channel_mult=cfg.model.channel_mult,
-        num_res_blocks=cfg.model.num_res_blocks,
-        attention_resolutions=cfg.model.attention_resolutions,
-        dropout=cfg.model.dropout,
-        compute_dtype=cfg.model.compute_dtype,
-        sample_dtype=cfg.model.sample_dtype,
-        use_pallas=cfg.model.use_pallas,
-    )
+    from rectified_flow_vision_tpu.experiments.train_base import build_model
+
+    return build_model(cfg)
 
 
 def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     cfg = config if config is not None else load_config()
+    if mesh is None:
+        from rectified_flow_vision_tpu.experiments.train_base import default_mesh
+
+        mesh = default_mesh(cfg)
 
     checkpoint_dir = repo_root() / cfg.paths.checkpoints
     checkpoint_dir.mkdir(parents=True, exist_ok=True)

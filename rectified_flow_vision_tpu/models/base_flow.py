@@ -577,3 +577,17 @@ def train_base_flow(
         state_mgr.close()
 
     return losses
+
+
+if __name__ == "__main__":
+    # Smoke test (parity with reference models/base_flow.py:298-320)
+    _model = BaseFlowModel(image_size=64, model_channels=64)
+    print(f"Total parameters: {_model.num_parameters():,}")
+    print("\nSampling test...")
+    _samples = _model.sample(batch_size=4, num_steps=10)
+    print(f"Sample shape: {tuple(_samples.shape)}")
+    print("\nLoss test...")
+    import numpy as _np
+
+    _loss = _model.compute_loss(_np.random.randn(4, 3, 64, 64).astype(_np.float32))
+    print(f"Loss: {float(_loss):.4f}")

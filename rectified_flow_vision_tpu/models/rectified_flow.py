@@ -349,3 +349,16 @@ def iterative_reflow(
         teacher_steps = max(teacher_steps // 2, 10)
 
     return models
+
+
+if __name__ == "__main__":
+    # Smoke test (parity with reference models/rectified_flow.py:321-343)
+    _base = BaseFlowModel(image_size=64)
+    _rect = RectifiedFlowModel.from_base_model(_base)
+    print(f"Rectified model created with {_rect.num_parameters():,} parameters")
+    print("\nPair generation test...")
+    _x0, _x1 = generate_reflow_pairs(_base, num_pairs=10, num_steps=10)
+    print(f"x0 shape: {_x0.shape}, x1 shape: {_x1.shape}")
+    print("\nStraightness test...")
+    _s = _rect.compute_straightness(_x0[:2], _x1[:2])
+    print(f"Straightness (untrained): {_s:.4f}")

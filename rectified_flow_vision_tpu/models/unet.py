@@ -295,3 +295,18 @@ def count_parameters(params_or_model) -> int:
         raise ValueError("pass a params pytree, e.g. count_parameters(unet.init(key))")
     leaves = jax.tree_util.tree_leaves(params_or_model)
     return int(sum(leaf.size for leaf in leaves))
+
+
+if __name__ == "__main__":
+    # Smoke test (parity with reference models/unet.py:283-306)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    _unet = UNet()
+    _params = _unet.init(_jax.random.key(0))
+    print(f"Number of parameters: {count_parameters(_params):,}")
+    _x = _jax.random.normal(_jax.random.key(1), (2, 64, 64, 3))
+    _t = _jax.random.uniform(_jax.random.key(2), (2,))
+    _out = _unet.apply(_params, _x, _t)
+    print(f"Input shape: {_x.shape}")
+    print(f"Output shape: {_out.shape}")

@@ -255,3 +255,15 @@ def benchmark_models(
         print(f"  Rectified:  {rect_speed['time_per_image'] * 1000:.2f} ms/img")
 
     return results
+
+
+if __name__ == "__main__":
+    # Smoke test (parity with reference utils/metrics.py:226-240)
+    calc = MetricsCalculator()
+    img1 = np.random.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    img2 = np.clip(
+        img1 + np.random.randint(-10, 10, (64, 64, 3)), 0, 255
+    ).astype(np.uint8)
+    print(f"SSIM between similar images: {calc.compute_ssim(img1, img2):.4f}")
+    img3 = np.random.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    print(f"SSIM between different images: {calc.compute_ssim(img1, img3):.4f}")

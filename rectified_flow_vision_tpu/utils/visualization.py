@@ -210,3 +210,18 @@ def create_summary_report(results: Dict, save_dir: str) -> None:
 
     print(f"Report saved to: {report_path}")
     plot_speed_comparison(results, os.path.join(save_dir, "speed_comparison.png"))
+
+
+if __name__ == "__main__":
+    # Smoke test (parity with reference utils/visualization.py:261-277)
+    dummy = {
+        "base_model": [
+            {"num_steps": s, "time_per_image": 0.01 * s, "images_per_second": 100 / s}
+            for s in [1, 2, 4, 8, 16, 32, 64]
+        ],
+        "rectified_model": [
+            {"num_steps": s, "time_per_image": 0.008 * s, "images_per_second": 125 / s}
+            for s in [1, 2, 4, 8, 16, 32, 64]
+        ],
+    }
+    plot_speed_comparison(dummy, save_path="results/_viz_smoke.png")
