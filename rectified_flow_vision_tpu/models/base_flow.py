@@ -254,14 +254,30 @@ class BaseFlowModel:
 
     __call__ = forward
 
-    def _get_sampler(self, num_steps: int, return_trajectory: bool, dtype):
-        key = (num_steps, bool(return_trajectory), jnp.dtype(dtype).name)
+    def _get_sampler(
+        self,
+        num_steps: int,
+        return_trajectory: bool,
+        dtype,
+        method: str = "euler",
+    ):
+        key = (num_steps, bool(return_trajectory), jnp.dtype(dtype).name, method)
         if key in self._sampler_cache:
             return self._sampler_cache[key]
 
         net = self.velocity_net
         use_pallas = self.use_pallas
         dt = 1.0 / num_steps
+
+        def vel(cparams, x, t_scalar):
+            t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
+            return net.apply(
+                cparams,
+                x.astype(dtype),
+                t,
+                compute_dtype=dtype,
+                use_pallas=use_pallas,
+            ).astype(jnp.float32)
 
         @jax.jit
         def sampler(params, noise):
@@ -271,15 +287,20 @@ class BaseFlowModel:
 
             def step(x, i):
                 # Left-endpoint times t_i = i/N (reference: base_flow.py:163-166)
-                t = jnp.full((x.shape[0],), i * dt, jnp.float32)
-                v = net.apply(
-                    cparams,
-                    x.astype(dtype),
-                    t,
-                    compute_dtype=dtype,
-                    use_pallas=use_pallas,
-                )
-                x = x + v.astype(jnp.float32) * dt
+                t0 = i * dt
+                v = vel(cparams, x, t0)
+                if method == "euler":
+                    x = x + v * dt
+                elif method == "midpoint":
+                    x_mid = x + v * (dt / 2)
+                    v_mid = vel(cparams, x_mid, t0 + dt / 2)
+                    x = x + v_mid * dt
+                elif method == "heun":
+                    x_e = x + v * dt
+                    v2 = vel(cparams, x_e, t0 + dt)
+                    x = x + (v + v2) * (dt / 2)
+                else:
+                    raise ValueError(f"unknown method {method!r}")
                 return x, (x if return_trajectory else None)
 
             x, traj = jax.lax.scan(
@@ -300,13 +321,18 @@ class BaseFlowModel:
         rng: Optional[Array] = None,
         data_format: str = "NCHW",
         dtype: Optional[str] = None,
+        method: str = "euler",
     ):
-        """Generate samples by Euler ODE integration (one fused scan).
+        """Generate samples by ODE integration (one fused scan).
 
         Mirrors reference semantics (base_flow.py:133-177): ``noise`` is
         [B, C, H, W] (or NHWC with data_format="NHWC") or None to draw
         ``batch_size`` fresh noise images; with ``return_trajectory`` the
         full state list [noise, x_1, ..., x_N] is returned.
+
+        ``method``: "euler" (reference parity, 1 net eval/step), "midpoint"
+        or "heun" (2nd order, 2 evals/step — better quality per step for the
+        curved base-model ODE; the rectified model rarely needs them).
         """
         sample_dtype = _DTYPES[dtype] if dtype is not None else self.sample_dtype
         if noise is None:
@@ -319,7 +345,9 @@ class BaseFlowModel:
         else:
             noise_nhwc = _to_nhwc(noise, data_format).astype(jnp.float32)
 
-        sampler = self._get_sampler(num_steps, return_trajectory, sample_dtype)
+        sampler = self._get_sampler(
+            num_steps, return_trajectory, sample_dtype, method
+        )
         if return_trajectory:
             x, traj = sampler(self.params, noise_nhwc)
             states = [noise_nhwc] + [traj[i] for i in range(num_steps)]
@@ -418,11 +446,16 @@ def make_epoch_cosine_schedule(lr: float, epochs: int, steps_per_epoch: int):
     return schedule
 
 
-def make_train_step(model: BaseFlowModel, tx, *, coupled: bool):
+def make_train_step(
+    model: BaseFlowModel, tx, *, coupled: bool, ema_decay: Optional[float] = None
+):
     """Build the single jitted, donated train step.
 
     loss -> grad -> global-norm clip (inside tx) -> optax update; gradient
     averaging across the data-parallel axis is implicit in sharded jit.
+    With ``ema_decay``, an exponential moving average of the params is
+    carried as an extra donated argument (production sampling weights; the
+    reference has no EMA).
     """
 
     if coupled:
@@ -436,16 +469,34 @@ def make_train_step(model: BaseFlowModel, tx, *, coupled: bool):
         def loss(params, batch, rng):
             return model.loss_fn(params, batch, rng, train=True)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    if ema_decay is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            loss_val, grads = jax.value_and_grad(loss)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: (p + u.astype(p.dtype)), params, updates
+            )
+            return params, opt_state, loss_val
+
+        return train_step
+
+    d = float(ema_decay)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_ema(params, ema, opt_state, batch, rng):
         loss_val, grads = jax.value_and_grad(loss)(params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: (p + u.astype(p.dtype)), params, updates
         )
-        return params, opt_state, loss_val
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema, params
+        )
+        return params, ema, opt_state, loss_val
 
-    return train_step
+    return train_step_ema
 
 
 def make_optimizer(lr: float, epochs: int, steps_per_epoch: int):

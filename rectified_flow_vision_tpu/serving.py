@@ -1,0 +1,144 @@
+"""Production sampling service: precompiled, steady-state image generation.
+
+The reference has no serving story (research scripts only). This module
+packages the sampler for deployment:
+
+* ``SamplerService`` precompiles one XLA executable per configured
+  (num_steps, batch, method) at startup — no compile hitches at request
+  time — and serves ``generate`` calls from a seeded, monotonically
+  advancing PRNG stream,
+* requests of arbitrary ``n`` are served from the fixed-shape executables
+  (largest-batch tiling + truncation), keeping XLA shapes static,
+* optional mesh: batches shard over the 'data' axis for multi-chip serving.
+
+Example:
+    svc = SamplerService.from_checkpoint("checkpoints/rectified_flow_k1_final.npz",
+                                         step_counts=(1, 2, 4), batch_size=256)
+    images = svc.generate(1000, num_steps=4)   # [1000, C, H, W] in [-1, 1]
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectified_flow_vision_tpu.models.base_flow import BaseFlowModel, _from_nhwc
+from rectified_flow_vision_tpu.utils.logging_config import get_logger
+
+log = get_logger("flow_vision.serving")
+
+
+class SamplerService:
+    """Precompiled few-step sampler around a trained flow model."""
+
+    def __init__(
+        self,
+        model: BaseFlowModel,
+        *,
+        step_counts: Sequence[int] = (1, 2, 4, 8),
+        batch_size: int = 256,
+        method: str = "euler",
+        seed: int = 0,
+        mesh=None,
+        warmup: bool = True,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.method = method
+        self.step_counts = tuple(step_counts)
+        self.mesh = mesh
+        self._key = jax.random.key(seed)
+        self._noise_shape = (
+            batch_size, model.image_size, model.image_size, model.in_channels
+        )
+
+        if mesh is not None:
+            from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+            self.model.params = mesh_lib.shard_params(mesh, self.model.params)
+
+        self._samplers = {
+            n: model._get_sampler(n, False, model.sample_dtype, method)
+            for n in self.step_counts
+        }
+        if warmup:
+            self.warmup()
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "SamplerService":
+        model = BaseFlowModel.from_checkpoint(path)
+        return cls(model, **kwargs)
+
+    # ---- lifecycle ---------------------------------------------------------
+
+    def warmup(self) -> Dict[int, float]:
+        """Compile every configured executable; returns compile seconds."""
+        stats: Dict[int, float] = {}
+        noise = jnp.zeros(self._noise_shape, jnp.float32)
+        noise = self._place(noise)
+        for n, sampler in self._samplers.items():
+            t0 = time.perf_counter()
+            out = sampler(self.model.params, noise)
+            float(jnp.sum(out))  # force completion (tunnel-safe sync)
+            stats[n] = time.perf_counter() - t0
+            log.info("warmed num_steps=%d in %.1fs", n, stats[n])
+        return stats
+
+    def _place(self, arr):
+        if self.mesh is None:
+            return arr
+        from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+        return mesh_lib.shard_batch(self.mesh, arr)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ---- serving -------------------------------------------------------------
+
+    def generate(
+        self,
+        n: int,
+        num_steps: Optional[int] = None,
+        *,
+        data_format: str = "NCHW",
+    ) -> np.ndarray:
+        """Generate ``n`` images; always runs the precompiled batch shape."""
+        num_steps = num_steps if num_steps is not None else self.step_counts[0]
+        if num_steps not in self._samplers:
+            raise ValueError(
+                f"num_steps={num_steps} not precompiled; configured: "
+                f"{self.step_counts}"
+            )
+        sampler = self._samplers[num_steps]
+
+        outs = []
+        remaining = n
+        while remaining > 0:
+            noise = jax.random.normal(
+                self._next_key(), self._noise_shape, jnp.float32
+            )
+            out = sampler(self.model.params, self._place(noise))
+            outs.append(out)
+            remaining -= self.batch_size
+        result = jnp.concatenate(outs)[:n]
+        return np.asarray(jax.device_get(_from_nhwc(result, data_format)))
+
+    def throughput(self, num_steps: int, iters: int = 8) -> float:
+        """Steady-state images/sec via dependency-chained timing."""
+        sampler = self._samplers[num_steps]
+        x = self._place(
+            jax.random.normal(self._next_key(), self._noise_shape, jnp.float32)
+        )
+        out = sampler(self.model.params, x)
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = sampler(self.model.params, x)
+        float(jnp.sum(x))
+        return self.batch_size * iters / (time.perf_counter() - t0)
