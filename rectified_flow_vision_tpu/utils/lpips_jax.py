@@ -122,3 +122,18 @@ class LPIPS:
     def __call__(self, img1, img2) -> np.ndarray:
         """LPIPS distances for [B, C, H, W] batches in [-1, 1]."""
         return np.asarray(self._fn(jnp.asarray(img1), jnp.asarray(img2)))
+
+    def fid_features(self, images) -> np.ndarray:
+        """Deep features for learned-feature FID: spatially pooled relu5
+        activations of [B, C, H, W] images in [-1, 1].
+
+        The reference's FID uses raw pixels and says "In production, use
+        Inception v3" (reference: utils/metrics.py:84-88); pooled conv
+        features from the same pretrained backbone that powers LPIPS are
+        the learned-feature upgrade this environment can load offline.
+        """
+        x = jnp.transpose(jnp.asarray(images), (0, 2, 3, 1)).astype(jnp.float32)
+        x = (x - _SHIFT) / _SCALE
+        taps = self._features(x)
+        pooled = jnp.mean(taps[-1], axis=(1, 2))  # [B, 256]
+        return np.asarray(pooled)

@@ -70,6 +70,21 @@ class MetricsCalculator:
             return float("nan")
         return float(model(_to_numpy(img1), _to_numpy(img2)).mean())
 
+    def compute_fid_deep(self, real_images, generated_images) -> float:
+        """Learned-feature FID over pooled AlexNet relu5 features.
+
+        Upgrade of the reference's raw-pixel "simplified FID" (its own
+        comment: "In production, use Inception v3", metrics.py:84-88).
+        NaN when pretrained weights are unavailable (same fallback
+        semantics as LPIPS). Inputs: [B, C, H, W] in [-1, 1].
+        """
+        model = self.lpips_model
+        if model is None:
+            return float("nan")
+        return self.compute_fid(
+            real_images, generated_images, feature_fn=model.fid_features
+        )
+
     # ---- SSIM ------------------------------------------------------------
 
     def compute_ssim(self, img1: np.ndarray, img2: np.ndarray) -> float:

@@ -60,3 +60,25 @@ class TestLPIPS:
         )
         with pytest.raises(FileNotFoundError):
             LPIPS.load_default()
+
+
+class TestDeepFID:
+    def test_fid_deep_with_synthetic_weights(self, model, monkeypatch):
+        from rectified_flow_vision_tpu.utils.metrics import MetricsCalculator
+
+        calc = MetricsCalculator()
+        monkeypatch.setattr(calc, "_lpips_model", model)  # inject weights
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 0.5, (8, 3, 64, 64)).astype(np.float32).clip(-1, 1)
+        b = rng.normal(0.4, 0.8, (8, 3, 64, 64)).astype(np.float32).clip(-1, 1)
+        same = calc.compute_fid_deep(a, a)
+        diff = calc.compute_fid_deep(a, b)
+        assert same < 1e-3
+        assert diff > same
+
+    def test_fid_deep_nan_without_weights(self):
+        from rectified_flow_vision_tpu.utils.metrics import MetricsCalculator
+
+        calc = MetricsCalculator()
+        a = np.zeros((4, 3, 64, 64), np.float32)
+        assert np.isnan(calc.compute_fid_deep(a, a))
