@@ -200,16 +200,32 @@ class BaseFlowModel:
         *,
         x0: Optional[Array] = None,
         train: bool = True,
+        time_sampling: str = "uniform",
     ) -> Array:
         """Pure flow-matching loss on an NHWC batch (used inside train jit).
 
         x0 given => coupled-pair (reflow) loss; x0 None => fresh noise.
+
+        ``time_sampling``: "uniform" (reference parity, base_flow.py:120),
+        "logit_normal" (SD3-style, concentrates capacity at mid-path where
+        the velocity is hardest), or "u_shaped" (emphasizes the endpoints —
+        useful for few-step distillation per the Simple-ReFlow line of
+        work).
         """
         k_noise, k_t, k_drop = jax.random.split(rng, 3)
         if x0 is None:
             x0 = jax.random.normal(k_noise, x1.shape, x1.dtype)
         batch = x1.shape[0]
-        t = jax.random.uniform(k_t, (batch,), jnp.float32)
+        if time_sampling == "uniform":
+            t = jax.random.uniform(k_t, (batch,), jnp.float32)
+        elif time_sampling == "logit_normal":
+            t = jax.nn.sigmoid(jax.random.normal(k_t, (batch,), jnp.float32))
+        elif time_sampling == "u_shaped":
+            # arcsine law: density 1/(pi*sqrt(t(1-t))), peaked at both ends
+            u = jax.random.uniform(k_t, (batch,), jnp.float32)
+            t = 0.5 - 0.5 * jnp.cos(jnp.pi * u)
+        else:
+            raise ValueError(f"unknown time_sampling {time_sampling!r}")
         x_t, target = self.get_interpolation(x0, x1, t)
         pred = self.velocity_net.apply(
             params,
@@ -447,7 +463,12 @@ def make_epoch_cosine_schedule(lr: float, epochs: int, steps_per_epoch: int):
 
 
 def make_train_step(
-    model: BaseFlowModel, tx, *, coupled: bool, ema_decay: Optional[float] = None
+    model: BaseFlowModel,
+    tx,
+    *,
+    coupled: bool,
+    ema_decay: Optional[float] = None,
+    time_sampling: str = "uniform",
 ):
     """Build the single jitted, donated train step.
 
@@ -462,12 +483,16 @@ def make_train_step(
 
         def loss(params, batch, rng):
             x0, x1 = batch
-            return model.loss_fn(params, x1, rng, x0=x0, train=True)
+            return model.loss_fn(
+                params, x1, rng, x0=x0, train=True, time_sampling=time_sampling
+            )
 
     else:
 
         def loss(params, batch, rng):
-            return model.loss_fn(params, batch, rng, train=True)
+            return model.loss_fn(
+                params, batch, rng, train=True, time_sampling=time_sampling
+            )
 
     if ema_decay is None:
 
