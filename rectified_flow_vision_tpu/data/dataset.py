@@ -60,6 +60,31 @@ class ImageDataset:
             )
         print(f"Dataset loaded: {len(self.image_paths)} images")
 
+    @property
+    def images_u8(self) -> np.ndarray:
+        """uint8 view of the corpus (for the native C++ batch pipeline).
+
+        rint before the cast: plain truncation would round f32 noise in the
+        inverse normalization down a full grey level.
+        """
+        return np.clip(
+            np.rint((self.images + 1.0) * 127.5), 0, 255
+        ).astype(np.uint8)
+
+    def native_loader(self, batch_size: int, *, seed: int = 0, **kwargs):
+        """C++ prefetching batch loader over this corpus (or None when the
+        native library is not built)."""
+        from rectified_flow_vision_tpu.data.native_loader import (
+            NativeBatchLoader,
+            native_available,
+        )
+
+        if not native_available() or len(self) == 0 or batch_size > len(self):
+            return None
+        return NativeBatchLoader(
+            self.images_u8, batch_size, seed=seed, **kwargs
+        )
+
     def __len__(self) -> int:
         return len(self.image_paths)
 

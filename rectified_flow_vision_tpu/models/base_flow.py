@@ -551,6 +551,7 @@ def train_base_flow(
     ckpt_ext: str = ".npz",
     progress: bool = True,
     resume_dir: Optional[str] = None,
+    use_native_loader: bool = False,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
@@ -568,10 +569,20 @@ def train_base_flow(
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
     is_dataset = isinstance(dataloader, ImageDataset)
+    native = None
     if is_dataset:
         if batch_size is None:
             raise ValueError("batch_size is required when passing an ImageDataset")
         steps_per_epoch = dataloader.num_batches(batch_size)
+        if use_native_loader:
+            native = dataloader.native_loader(batch_size, seed=seed)
+            if native is None:
+                log.warning(
+                    "native loader requested but unavailable "
+                    "(build with tools/build_native.sh); using Python batches"
+                )
+            else:
+                steps_per_epoch = native.batches_per_epoch
     else:
         probe = list(dataloader)
         dataloader = probe
@@ -610,7 +621,11 @@ def train_base_flow(
 
     for epoch in range(start_epoch, epochs):
         if is_dataset:
-            batches = dataloader.batches(batch_size, seed=seed * 100003 + epoch)
+            batches = (
+                native.epoch(epoch)
+                if native is not None
+                else dataloader.batches(batch_size, seed=seed * 100003 + epoch)
+            )
         else:
             batches = dataloader
         epoch_key = jax.random.fold_in(root_key, epoch)

@@ -95,3 +95,24 @@ class TestNativeLoader:
         )
         assert len(losses) == 2
         ldr.close()
+
+    def test_train_base_flow_native_path(self, corpus, tmp_path):
+        """use_native_loader=True trains through the C++ pipeline."""
+        from PIL import Image
+        from rectified_flow_vision_tpu.data import ImageDataset
+        from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(12):
+            Image.fromarray(corpus[i]).save(d / f"image_{i:04d}.png")
+        ds = ImageDataset(str(d), 16)
+        m = BaseFlowModel(
+            image_size=16, model_channels=16, channel_mult=[1],
+            num_res_blocks=1, sample_dtype="float32",
+        )
+        losses = train_base_flow(
+            m, ds, epochs=2, lr=1e-3, batch_size=4, progress=False,
+            use_native_loader=True,
+        )
+        assert len(losses) == 2
