@@ -140,6 +140,50 @@ def _attention(q: Array, k: Array, v: Array, *, use_flash: bool) -> Array:
     ).astype(q.dtype)
 
 
+def block_apply(
+    blk: Params,
+    tokens: Array,
+    c_emb: Array,
+    *,
+    num_heads: int,
+    use_flash: bool = False,
+    mesh=None,
+    seq_axis=None,
+) -> Array:
+    """One adaLN-Zero DiT block: tokens [B, T, H], c_emb [B, H] -> [B, T, H].
+
+    Factored out of DiT.apply so the GPipe pipeline (parallel/pipeline.py)
+    can scan it over a stage's block stack.
+    """
+    b, t, hidden = tokens.shape
+    hd = hidden // num_heads
+
+    mod = P.dense(P.silu(c_emb), blk["ada"])  # [B, 6h]
+    (
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
+    ) = jnp.split(mod, 6, axis=-1)
+    # attention branch
+    hmod = _modulate(_layer_norm(tokens), shift_msa, scale_msa)
+    qkv = P.dense(hmod, blk["qkv"]).reshape(b, t, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if mesh is not None and seq_axis is not None:
+        from rectified_flow_vision_tpu.parallel.ring_attention import (
+            ring_attention_sharded,
+        )
+
+        att = ring_attention_sharded(q, k, v, mesh, seq_axis=seq_axis)
+    else:
+        att = _attention(q, k, v, use_flash=use_flash)
+    att = P.dense(att.reshape(b, t, hidden), blk["proj"])
+    tokens = tokens + gate_msa[:, None, :] * att
+    # MLP branch
+    hmod = _modulate(_layer_norm(tokens), shift_mlp, scale_mlp)
+    hmod = P.dense(hmod, blk["mlp1"])
+    hmod = jax.nn.gelu(hmod, approximate=True)
+    hmod = P.dense(hmod, blk["mlp2"])
+    return tokens + gate_mlp[:, None, :] * hmod
+
+
 class DiT:
     """Functional DiT: params = dit.init(key); v = dit.apply(params, x, t)."""
 
@@ -258,33 +302,16 @@ class DiT:
 
         c_emb = self._time_embedding(params, t, compute_dtype)  # [B, h]
 
-        nh, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
         for i in range(cfg.depth):
-            blk = params["blocks"][str(i)]
-            mod = P.dense(P.silu(c_emb), blk["ada"])  # [B, 6h]
-            (
-                shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
-            ) = jnp.split(mod, 6, axis=-1)
-            # attention branch
-            hmod = _modulate(_layer_norm(tokens), shift_msa, scale_msa)
-            qkv = P.dense(hmod, blk["qkv"]).reshape(b, gh * gw, 3, nh, hd)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            if seq_parallel:
-                from rectified_flow_vision_tpu.parallel.ring_attention import (
-                    ring_attention_sharded,
-                )
-
-                att = ring_attention_sharded(q, k, v, mesh, seq_axis=seq_axis)
-            else:
-                att = _attention(q, k, v, use_flash=use_pallas)
-            att = P.dense(att.reshape(b, gh * gw, cfg.hidden_size), blk["proj"])
-            tokens = tokens + gate_msa[:, None, :] * att
-            # MLP branch
-            hmod = _modulate(_layer_norm(tokens), shift_mlp, scale_mlp)
-            hmod = P.dense(hmod, blk["mlp1"])
-            hmod = jax.nn.gelu(hmod, approximate=True)
-            hmod = P.dense(hmod, blk["mlp2"])
-            tokens = tokens + gate_mlp[:, None, :] * hmod
+            tokens = block_apply(
+                params["blocks"][str(i)],
+                tokens,
+                c_emb,
+                num_heads=cfg.num_heads,
+                use_flash=use_pallas,
+                mesh=mesh if seq_parallel else None,
+                seq_axis=seq_axis if seq_parallel else None,
+            )
 
         # final adaLN + zero-init head
         mod = P.dense(P.silu(c_emb), params["final"]["ada"])
@@ -297,3 +324,64 @@ class DiT:
         return out
 
     __call__ = apply
+
+    # ---- pipeline-parallel forward ------------------------------------------
+
+    def pipeline_apply(
+        self,
+        params: Params,
+        x: Array,
+        t: Array,
+        mesh,
+        *,
+        stage_axis: str = "stage",
+        num_microbatches: Optional[int] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
+        stacked_blocks: Optional[Params] = None,
+    ) -> Array:
+        """GPipe forward: the block stack is split across the ``stage`` mesh
+        axis; patchify/head run stage-redundantly (they are tiny).
+
+        ``stacked_blocks``: pre-stacked+sharded block params from
+        ``prepare_pipeline_params`` (otherwise stacked on the fly).
+        """
+        from rectified_flow_vision_tpu.parallel.pipeline import (
+            pipeline_apply,
+            stack_block_params,
+        )
+
+        cfg = self.cfg
+        b, hh, ww, c = x.shape
+        p = cfg.patch_size
+        gh, gw = hh // p, ww // p
+
+        x = x.astype(compute_dtype)
+        tokens = P.conv2d(x, params["patch_embed"], stride=p)
+        tokens = tokens.reshape(b, gh * gw, cfg.hidden_size)
+        tokens = tokens + params["pos_embed"].astype(compute_dtype)
+        c_emb = self._time_embedding(params, t, compute_dtype)
+
+        if stacked_blocks is None:
+            stacked_blocks = stack_block_params(
+                params["blocks"], mesh.shape[stage_axis]
+            )
+
+        import functools as _ft
+
+        blk_fn = _ft.partial(block_apply, num_heads=cfg.num_heads)
+        tokens = pipeline_apply(
+            blk_fn,
+            stacked_blocks,
+            tokens,
+            c_emb,
+            mesh,
+            stage_axis=stage_axis,
+            num_microbatches=num_microbatches,
+        )
+
+        mod = P.dense(P.silu(c_emb), params["final"]["ada"])
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        tokens = _modulate(_layer_norm(tokens), shift, scale)
+        out = P.dense(tokens, params["final"]["linear"])
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)

@@ -1,0 +1,142 @@
+"""Pipeline parallelism: GPipe-style microbatch pipelining over a mesh axis.
+
+The reference is single-device (SURVEY §2.3); this adds the last of the
+classic parallelism modes for the transformer family. DiT's depth-L block
+stack is split into S equal stages, one per device along the ``stage`` mesh
+axis. Microbatches flow through the ring: at tick t, stage s processes
+microbatch t-s; activations (and their time-conditioning embeddings) hop to
+the next stage with ``ppermute`` after every tick. The schedule runs
+M + S - 1 ticks with the usual GPipe bubbles; collection happens on the
+last stage and is broadcast back with one psum.
+
+All indices are static (the tick loop is a Python loop under jit), so the
+whole pipeline compiles into one XLA executable with S-way SPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+def stack_block_params(block_params: Dict[str, Params], num_stages: int) -> Params:
+    """{'0': blk, '1': blk, ...} -> leaves stacked [S, L/S, ...].
+
+    Blocks must be homogeneous (same pytree structure), which DiT's are.
+    """
+    n = len(block_params)
+    if n % num_stages != 0:
+        raise ValueError(f"{n} blocks not divisible into {num_stages} stages")
+    per = n // num_stages
+    ordered = [block_params[str(i)] for i in range(n)]
+
+    def stack(*leaves):
+        flat = jnp.stack(leaves)  # [L, ...]
+        return flat.reshape((num_stages, per) + flat.shape[1:])
+
+    return jax.tree_util.tree_map(stack, *ordered)
+
+
+def shard_stage_params(mesh: Mesh, stacked: Params, stage_axis: str = "stage"):
+    """Place stacked block params with dim0 sharded over the stage axis."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(stage_axis, *([None] * (a.ndim - 1))))
+        ),
+        stacked,
+    )
+
+
+def pipeline_apply(
+    block_fn: Callable[[Params, Array, Array], Array],
+    stacked_params: Params,
+    tokens: Array,
+    c_emb: Array,
+    mesh: Mesh,
+    *,
+    stage_axis: str = "stage",
+    num_microbatches: int = None,
+) -> Array:
+    """Run token activations through the pipelined block stack.
+
+    block_fn(one_block_params, tokens_mb, c_emb_mb) -> tokens_mb.
+    tokens: [B, T, H]; c_emb: [B, H]. B must divide into microbatches that
+    each keep a static shape. Returns [B, T, H].
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    num_stages = mesh.shape[stage_axis]
+    m = num_microbatches or num_stages
+    b = tokens.shape[0]
+    if b % m != 0:
+        raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    mb = b // m
+
+    x_mb = tokens.reshape((m, mb) + tokens.shape[1:])
+    c_mb = c_emb.reshape((m, mb) + c_emb.shape[1:])
+
+    def _stage(params_local, x):
+        # params_local leaves: [1, per, ...] (the local stage's blocks)
+        tokens_mb, c = x
+
+        def body(tok, blk):
+            return block_fn(blk, tok, c), None
+
+        per_stage = jax.tree_util.tree_map(lambda a: a[0], params_local)
+        tokens_mb, _ = jax.lax.scan(body, tokens_mb, per_stage)
+        return tokens_mb, c
+
+    def _pipelined(params_local, x_mb, c_mb):
+        stage = jax.lax.axis_index(stage_axis)
+        s_count = num_stages
+        perm = [(i, (i + 1) % s_count) for i in range(s_count)]
+
+        state = jnp.zeros_like(x_mb[0])
+        c_state = jnp.zeros_like(c_mb[0])
+        out = jnp.zeros_like(x_mb)
+
+        is_first = (stage == 0)
+        is_last = (stage == s_count - 1)
+
+        for t in range(m + s_count - 1):
+            # stage 0 injects microbatch t before processing
+            if t < m:
+                state = jnp.where(is_first, x_mb[t], state)
+                c_state = jnp.where(is_first, c_mb[t], c_state)
+            state, c_state = _stage(params_local, (state, c_state))
+            # last stage collects microbatch t-(S-1) after processing
+            out_idx = t - (s_count - 1)
+            if out_idx >= 0:
+                out = out.at[out_idx].set(
+                    jnp.where(is_last, state, out[out_idx])
+                )
+            # hop to the next stage
+            if t < m + s_count - 2:
+                state = jax.lax.ppermute(state, stage_axis, perm)
+                c_state = jax.lax.ppermute(c_state, stage_axis, perm)
+
+        # only the last stage holds results; one psum broadcasts them
+        out = jnp.where(is_last, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, stage_axis)
+
+    spec_params = jax.tree_util.tree_map(
+        lambda a: P(stage_axis, *([None] * (a.ndim - 1))), stacked_params
+    )
+    fn = shard_map(
+        _pipelined,
+        mesh=mesh,
+        in_specs=(spec_params, P(), P()),
+        out_specs=P(),
+    )
+    out = fn(stacked_params, x_mb, c_mb)
+    return out.reshape((b,) + tokens.shape[1:])
