@@ -434,12 +434,28 @@ class BaseFlowModel:
 
     @classmethod
     def from_checkpoint(cls, path: str, **overrides):
-        """Reconstruct a model purely from a self-describing checkpoint."""
+        """Reconstruct a model purely from a self-describing checkpoint.
+
+        The stored ``model_type`` dispatches to the right class, so loading
+        a RectifiedFlowModel checkpoint through BaseFlowModel.from_checkpoint
+        returns a RectifiedFlowModel (with its reflow_iteration restored).
+        """
         params, config = ckpt_io.load_params(path)
         config = dict(config or {})
-        config.pop("model_type", None)
+        model_type = config.pop("model_type", None)
+        reflow_iteration = config.pop("reflow_iteration", None)
         config.update(overrides)
-        model = cls(**config)
+
+        target_cls = cls
+        if model_type == "RectifiedFlowModel":
+            from rectified_flow_vision_tpu.models.rectified_flow import (
+                RectifiedFlowModel,
+            )
+
+            target_cls = RectifiedFlowModel
+        model = target_cls(**config)
+        if reflow_iteration is not None and hasattr(model, "reflow_iteration"):
+            model.reflow_iteration = int(reflow_iteration)
         model.params = jax.tree_util.tree_map(jnp.asarray, params)
         return model
 

@@ -142,3 +142,54 @@ class SamplerService:
             x = sampler(self.model.params, x)
         float(jnp.sum(x))
         return self.batch_size * iters / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    """CLI: generate a grid of samples from a checkpoint.
+
+    python -m rectified_flow_vision_tpu.serving \
+        --checkpoint checkpoints/rectified_flow_k1_final.npz \
+        --num 16 --steps 4 --out results/served.png
+    """
+    import argparse
+
+    import numpy as np
+
+    parser = argparse.ArgumentParser(description="Flow sampler service")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--num", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=4)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--method", default="euler",
+                        choices=["euler", "midpoint", "heun"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default="results/served_samples.png")
+    parser.add_argument("--bench", action="store_true",
+                        help="also print steady-state throughput")
+    args = parser.parse_args()
+
+    svc = SamplerService.from_checkpoint(
+        args.checkpoint,
+        step_counts=(args.steps,),
+        batch_size=min(args.batch_size, max(args.num, 1)),
+        method=args.method,
+        seed=args.seed,
+    )
+    imgs = svc.generate(args.num, num_steps=args.steps)
+    from rectified_flow_vision_tpu.utils.visualization import (
+        plot_generated_samples,
+    )
+
+    plot_generated_samples(
+        imgs, title=f"{args.steps}-step {args.method}", save_path=args.out
+    )
+    log.info("wrote %d samples to %s", args.num, args.out)
+    if args.bench:
+        log.info(
+            "throughput: %.1f img/s at %d steps",
+            svc.throughput(args.steps), args.steps,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,21 @@ class TestSamplerService:
         m = _tiny()
         svc = SamplerService(m, step_counts=(1,), batch_size=4, warmup=True)
         assert svc.throughput(1, iters=2) > 0
+
+
+class TestFromCheckpointDispatch:
+    def test_rectified_checkpoint_restores_class(self, tmp_path):
+        from rectified_flow_vision_tpu.models import (
+            BaseFlowModel,
+            RectifiedFlowModel,
+        )
+
+        rect = RectifiedFlowModel(
+            image_size=8, model_channels=16, channel_mult=[1],
+            num_res_blocks=1,
+        )
+        rect.reflow_iteration = 2
+        rect.save(str(tmp_path / "r.npz"))
+        loaded = BaseFlowModel.from_checkpoint(str(tmp_path / "r.npz"))
+        assert isinstance(loaded, RectifiedFlowModel)
+        assert loaded.reflow_iteration == 2
