@@ -73,20 +73,23 @@ def conv2d(x: Array, p: dict, *, stride: int = 1) -> Array:
     kh, kw = w.shape[0], w.shape[1]
     # (k-1)//2: torch's pad=k//2 for odd kernels, and 0 for even kernels
     # (patchify convs), where any padding would be wrong.
+    # Output dtype follows the input: the MXU accumulates fp32 internally
+    # for bf16 operands regardless, and preferred_element_type=f32 with
+    # bf16 inputs breaks conv's VJP (cotangent/operand dtype mismatch).
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=(((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+    return (out.astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
 def dense(x: Array, p: dict) -> Array:
-    out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    return (out + p["b"].astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    return (out.astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
 def group_norm(x: Array, p: dict, *, num_groups: int = 8, eps: float = 1e-5) -> Array:
