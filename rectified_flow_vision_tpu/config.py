@@ -56,6 +56,10 @@ class TrainingBaseConfig:
     learning_rate: float = 1e-4
     num_timesteps: int = 1000
     save_every: int = 10
+    # TPU-native extensions
+    resume: bool = False          # restart from the latest train state
+    ema_decay: float = 0.0        # >0 enables EMA params
+    use_native_loader: bool = False
 
 
 @dataclass
@@ -65,6 +69,8 @@ class TrainingRectifiedConfig:
     learning_rate: float = 1e-4
     num_reflow_iterations: int = 2
     save_every: int = 10
+    # TPU-native extensions
+    resume: bool = False
 
 
 @dataclass

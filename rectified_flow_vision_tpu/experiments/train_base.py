@@ -96,6 +96,13 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
         save_every=cfg.training_base.save_every,
         batch_size=cfg.training_base.batch_size,
         mesh=mesh,
+        resume_dir=(
+            str(checkpoint_dir / "state_base")
+            if cfg.training_base.resume
+            else None
+        ),
+        use_native_loader=cfg.training_base.use_native_loader,
+        ema_decay=cfg.training_base.ema_decay or None,
     )
 
     np.save(str(checkpoint_dir / "base_flow_losses.npy"), losses)

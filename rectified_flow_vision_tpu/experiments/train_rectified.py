@@ -81,6 +81,11 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
         save_every=cfg.training_rectified.save_every,
         data_format="NHWC",
         mesh=mesh,
+        resume_dir=(
+            str(checkpoint_dir / "state_rectified_k1")
+            if cfg.training_rectified.resume
+            else None
+        ),
     )
 
     np.save(str(checkpoint_dir / "rectified_flow_k1_losses.npy"), losses)

@@ -568,6 +568,7 @@ def train_base_flow(
     progress: bool = True,
     resume_dir: Optional[str] = None,
     use_native_loader: bool = False,
+    ema_decay: Optional[float] = None,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
@@ -609,12 +610,18 @@ def train_base_flow(
     tx = make_optimizer(lr, epochs, steps_per_epoch)
     params = model.params
     opt_state = tx.init(params)
-    train_step = make_train_step(model, tx, coupled=False)
+    use_ema = ema_decay is not None and ema_decay > 0
+    train_step = make_train_step(
+        model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
+    )
+    ema = jax.tree_util.tree_map(jnp.array, params) if use_ema else None
 
     # Data-parallel placement: batch sharded over 'data', params replicated.
     if mesh is not None:
         params = mesh_lib.shard_params(mesh, params)
         opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+        if use_ema:
+            ema = mesh_lib.shard_params(mesh, ema)
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
@@ -653,9 +660,14 @@ def train_base_flow(
             batch = jnp.asarray(batch)
             if mesh is not None and batch.shape[0] % mesh.shape["data"] == 0:
                 batch = mesh_lib.shard_batch(mesh, batch)
-            params, opt_state, loss_val = train_step(
-                params, opt_state, batch, step_key
-            )
+            if use_ema:
+                params, ema, opt_state, loss_val = train_step(
+                    params, ema, opt_state, batch, step_key
+                )
+            else:
+                params, opt_state, loss_val = train_step(
+                    params, opt_state, batch, step_key
+                )
             epoch_losses.append(loss_val)
 
         avg_loss = float(np.mean([jax.device_get(l) for l in epoch_losses]))
@@ -672,12 +684,18 @@ def train_base_flow(
         model.params = params
         if save_path and (epoch + 1) % save_every == 0:
             model.save(f"{save_path}_epoch{epoch + 1}{ckpt_ext}")
+            if use_ema:
+                ckpt_io.save_params(
+                    f"{save_path}_ema_epoch{epoch + 1}{ckpt_ext}", ema, model.config
+                )
         if state_mgr is not None and (epoch + 1) % save_every == 0:
             state_mgr.save(epoch, params, opt_state, losses)
 
     model.params = params
     if save_path:
         model.save(f"{save_path}_final{ckpt_ext}")
+        if use_ema:
+            ckpt_io.save_params(f"{save_path}_ema_final{ckpt_ext}", ema, model.config)
     if state_mgr is not None:
         if epochs > start_epoch:
             state_mgr.save(epochs - 1, params, opt_state, losses)
