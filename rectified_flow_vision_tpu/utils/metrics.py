@@ -70,6 +70,36 @@ class MetricsCalculator:
             return float("nan")
         return float(model(_to_numpy(img1), _to_numpy(img2)).mean())
 
+    @property
+    def inception_model(self):
+        """Lazy-loaded InceptionV3 features; None when weights unavailable."""
+        if self._inception_model is None:
+            try:
+                from rectified_flow_vision_tpu.utils.inception_jax import (
+                    InceptionV3Features,
+                )
+
+                self._inception_model = InceptionV3Features.load_default()
+            except FileNotFoundError:
+                print(
+                    "InceptionV3 weights not available. Convert them with "
+                    "tools/convert_inception_weights.py to enable real FID."
+                )
+                return None
+        return self._inception_model
+
+    def compute_fid_inception(self, real_images, generated_images) -> float:
+        """Standard FID over InceptionV3 pool3 (2048-d) features.
+
+        The production FID the reference's comment points at
+        (utils/metrics.py:84-88). NaN without pretrained weights (the same
+        fallback contract as LPIPS). Inputs: [B, C, H, W] in [-1, 1].
+        """
+        model = self.inception_model
+        if model is None:
+            return float("nan")
+        return self.compute_fid(real_images, generated_images, feature_fn=model)
+
     def compute_fid_deep(self, real_images, generated_images) -> float:
         """Learned-feature FID over pooled AlexNet relu5 features.
 
