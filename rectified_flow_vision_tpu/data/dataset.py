@@ -15,7 +15,7 @@ Images are normalized to [-1, 1] exactly like the reference transform
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 from PIL import Image

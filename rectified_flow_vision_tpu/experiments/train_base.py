@@ -9,7 +9,6 @@ smoke-sample. Module is runnable both as
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Optional
 
 import numpy as np

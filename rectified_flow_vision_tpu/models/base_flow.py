@@ -30,9 +30,8 @@ reference; pass ``data_format="NHWC"`` to stay in the TPU-native layout.
 from __future__ import annotations
 
 import functools
-import math
 import time
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

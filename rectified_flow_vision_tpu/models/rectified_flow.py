@@ -23,8 +23,7 @@ single ``lax.scan``.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,6 @@ import numpy as np
 
 from rectified_flow_vision_tpu.models.base_flow import (
     BaseFlowModel,
-    _from_nhwc,
     _to_nhwc,
     make_optimizer,
     make_train_step,

@@ -25,7 +25,7 @@ a flag, and a compute-dtype knob for bf16 inference.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -300,7 +300,6 @@ def count_parameters(params_or_model) -> int:
 if __name__ == "__main__":
     # Smoke test (parity with reference models/unet.py:283-306)
     import jax as _jax
-    import jax.numpy as _jnp
 
     _unet = UNet()
     _params = _unet.init(_jax.random.key(0))

@@ -18,7 +18,6 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from rectified_flow_vision_tpu.ops import primitives as P
 

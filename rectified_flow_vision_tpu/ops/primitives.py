@@ -10,7 +10,7 @@ and the ground truth for kernel equivalence tests.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ whole pipeline compiles into one XLA executable with S-way SPMD.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

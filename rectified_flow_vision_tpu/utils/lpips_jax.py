@@ -17,8 +17,6 @@ on any machine that has the ``lpips`` pip package. Without the file,
 
 from __future__ import annotations
 
-import functools
-from pathlib import Path
 from typing import Dict, List
 
 import jax

@@ -12,7 +12,7 @@ time.time() spans, reference: experiments/benchmark.py:43-69).
 from __future__ import annotations
 
 import contextlib
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 

@@ -29,7 +29,6 @@ fully self-describing for ``BaseFlowModel.from_checkpoint``.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np

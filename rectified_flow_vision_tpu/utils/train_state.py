@@ -11,7 +11,7 @@ asynchronously per epoch cadence, restart-from-latest on resume.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np
