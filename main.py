@@ -23,6 +23,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
+from rectified_flow_vision_tpu.parallel.mesh import maybe_init_distributed
+
+# Multi-host init must precede any XLA backend use (including jax.devices()).
+maybe_init_distributed()
+
 from rectified_flow_vision_tpu.config import (
     QUICK_CONFIG_PATH,
     load_config,

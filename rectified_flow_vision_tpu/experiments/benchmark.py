@@ -75,9 +75,10 @@ def benchmark_speed(
             start = time.perf_counter()
             outs = []
             for i in range(0, num_samples, batch_size):
+                cur = min(batch_size, num_samples - i)  # exactly num_samples
                 k = jax.random.fold_in(key, run * 131071 + i)
                 noise = jax.random.normal(
-                    k, (batch_size, image_size, image_size, model.in_channels)
+                    k, (cur, image_size, image_size, model.in_channels)
                 )
                 outs.append(
                     model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")

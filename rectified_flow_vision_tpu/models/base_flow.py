@@ -613,14 +613,12 @@ def train_base_flow(
     train_step = make_train_step(
         model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
     )
-    ema = jax.tree_util.tree_map(jnp.array, params) if use_ema else None
+    ema = None  # initialized after a possible restore (must not be fresh-init)
 
     # Data-parallel placement: batch sharded over 'data', params replicated.
     if mesh is not None:
         params = mesh_lib.shard_params(mesh, params)
         opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
-        if use_ema:
-            ema = mesh_lib.shard_params(mesh, ema)
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
@@ -633,13 +631,24 @@ def train_base_flow(
         state_mgr = TrainStateManager(resume_dir)
         restored = state_mgr.restore(params, opt_state)
         if restored is not None:
-            params, opt_state, losses, start_epoch = restored
+            params, opt_state, losses, start_epoch, ema = restored
             params = jax.tree_util.tree_map(jnp.asarray, params)
             opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+            if ema is not None:
+                ema = jax.tree_util.tree_map(jnp.asarray, ema)
             if mesh is not None:
                 params = mesh_lib.shard_params(mesh, params)
                 opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+                if ema is not None:
+                    ema = mesh_lib.shard_params(mesh, ema)
             log.info("Resumed training from epoch %d (%s)", start_epoch, resume_dir)
+
+    if use_ema and ema is None:
+        # fresh EMA only when there was nothing to restore: seeded from the
+        # CURRENT (possibly restored) params, never a fresh init
+        ema = jax.tree_util.tree_map(jnp.array, params)
+        if mesh is not None:
+            ema = mesh_lib.shard_params(mesh, ema)
 
     for epoch in range(start_epoch, epochs):
         if is_dataset:
@@ -688,7 +697,7 @@ def train_base_flow(
                     f"{save_path}_ema_epoch{epoch + 1}{ckpt_ext}", ema, model.config
                 )
         if state_mgr is not None and (epoch + 1) % save_every == 0:
-            state_mgr.save(epoch, params, opt_state, losses)
+            state_mgr.save(epoch, params, opt_state, losses, ema=ema)
 
     model.params = params
     if save_path:
@@ -697,7 +706,7 @@ def train_base_flow(
             ckpt_io.save_params(f"{save_path}_ema_final{ckpt_ext}", ema, model.config)
     if state_mgr is not None:
         if epochs > start_epoch:
-            state_mgr.save(epochs - 1, params, opt_state, losses)
+            state_mgr.save(epochs - 1, params, opt_state, losses, ema=ema)
         state_mgr.close()
 
     return losses

@@ -102,15 +102,20 @@ def _modulate(x: Array, shift: Array, scale: Array) -> Array:
 def _flash_block_sizes(t: int):
     """Tuned flash-attention blocking. The library defaults leave the MXU
     ~5% utilized at 16k tokens (measured 8.4 TFLOPs/s on v5e); 1024-wide
-    blocks reach 57 TFLOPs/s (6.8x). Capped at the sequence length."""
+    blocks reach 57 TFLOPs/s (6.8x). Blocks must divide the sequence
+    length: pick the largest of 1024/512/256/128 that does, else fall back
+    to the library defaults (None)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-    blk = min(1024, t)
-    return fa.BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
-        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
-    )
+    for blk in (1024, 512, 256, 128):
+        if t % blk == 0:
+            return fa.BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+                block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+                block_q_dq=blk,
+            )
+    return None
 
 
 def _attention(q: Array, k: Array, v: Array, *, use_flash: bool) -> Array:

@@ -99,6 +99,10 @@ class RectifiedFlowModel(BaseFlowModel):
         use_pallas = self.use_pallas
         dt = 1.0 / num_points
 
+        cache_key = ("straightness", num_points, jnp.dtype(dtype).name)
+        if cache_key in self._sampler_cache:
+            return float(self._sampler_cache[cache_key](self.params, x0, x1))
+
         @jax.jit
         def rollout(params, x0, x1):
             cparams = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
@@ -116,6 +120,7 @@ class RectifiedFlowModel(BaseFlowModel):
             _, devs = jax.lax.scan(step, x0, jnp.arange(num_points, dtype=jnp.float32))
             return jnp.mean(devs)
 
+        self._sampler_cache[cache_key] = rollout
         return float(rollout(self.params, x0, x1))
 
 
@@ -224,7 +229,7 @@ def train_rectified_flow(
         state_mgr = TrainStateManager(resume_dir)
         restored = state_mgr.restore(params, opt_state)
         if restored is not None:
-            params, opt_state, losses, start_epoch = restored
+            params, opt_state, losses, start_epoch, _ = restored
             params = jax.tree_util.tree_map(jnp.asarray, params)
             opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
             if mesh is not None:

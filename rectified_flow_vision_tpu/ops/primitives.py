@@ -71,8 +71,10 @@ def conv2d(x: Array, p: dict, *, stride: int = 1) -> Array:
     """
     w = p["w"].astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
-    # (k-1)//2: torch's pad=k//2 for odd kernels, and 0 for even kernels
-    # (patchify convs), where any padding would be wrong.
+    # odd kernels: torch's pad=k//2; even kernels (patchify convs, any
+    # size): no padding — windows must tile the image exactly.
+    ph = kh // 2 if kh % 2 else 0
+    pw = kw // 2 if kw % 2 else 0
     # Output dtype follows the input: the MXU accumulates fp32 internally
     # for bf16 operands regardless, and preferred_element_type=f32 with
     # bf16 inputs breaks conv's VJP (cotangent/operand dtype mismatch).
@@ -80,7 +82,7 @@ def conv2d(x: Array, p: dict, *, stride: int = 1) -> Array:
         x,
         w,
         window_strides=(stride, stride),
-        padding=(((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)),
+        padding=((ph, ph), (pw, pw)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )

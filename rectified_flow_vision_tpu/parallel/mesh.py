@@ -28,15 +28,39 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def maybe_init_distributed() -> None:
-    """Initialise multi-host JAX when launched under a cluster scheduler."""
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_init_distributed() -> bool:
+    """Initialise multi-host JAX when launched under a cluster scheduler.
+
+    Must run BEFORE anything touches the XLA backend (jax.devices(),
+    jax.process_count(), any computation) — jax.distributed.initialize()
+    raises once backends are up. Call this first thing in entry points;
+    returns True when multi-host init actually happened.
+    """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 - single-host fallback
-            pass
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    if not (
+        "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "COORDINATOR_ADDRESS" in os.environ
+    ):
+        return False
+    try:
+        jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True
+        return True
+    except RuntimeError as exc:
+        import logging
+
+        logging.getLogger("flow_vision").warning(
+            "jax.distributed.initialize() failed (%s); continuing single-host",
+            exc,
+        )
+        return False
 
 
 def create_mesh(

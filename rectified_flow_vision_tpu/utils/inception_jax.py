@@ -144,16 +144,13 @@ def _maxpool(x, k=3, s=2, p=0):
 
 
 def _avgpool3(x):
+    # torch F.avg_pool2d defaults to count_include_pad=True: always /9,
+    # including at the zero-padded borders (matches the converted weights).
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
-    return summed / counts
+    return summed / 9.0
 
 
 def _block_a(w, p, x):
@@ -234,6 +231,12 @@ class InceptionV3Features:
         # NCHW [-1,1] -> NHWC, bilinear 299x299 (the FID-standard input)
         x = jnp.transpose(images, (0, 2, 3, 1)).astype(jnp.float32)
         x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+        # torchvision builds pretrained InceptionV3 with transform_input=True:
+        # per-channel x*(imagenet_std/0.5) + (imagenet_mean-0.5)/0.5 maps a
+        # [-1,1] input onto the ImageNet normalization the weights expect.
+        tscale = jnp.array([0.229, 0.224, 0.225], jnp.float32) / 0.5
+        tshift = (jnp.array([0.485, 0.456, 0.406], jnp.float32) - 0.5) / 0.5
+        x = x * tscale + tshift
         w = self.w
 
         x = _bconv(w, "Conv2d_1a_3x3", x)

@@ -21,21 +21,32 @@ def setup_logger(
     log_file: Optional[str] = None,
     format_string: Optional[str] = None,
 ) -> logging.Logger:
-    """Configure and return a logger instance (idempotent)."""
-    log = logging.getLogger(name)
-    if log.handlers:
-        return log
+    """Configure and return a logger instance.
 
+    Idempotent per handler KIND: a console handler is attached once, and a
+    file handler is attached the first time a ``log_file`` is requested —
+    even if the logger was already console-configured at import time (the
+    module-level ``logger`` below would otherwise make main.py's
+    ``log_file=`` request a silent no-op).
+    """
+    log = logging.getLogger(name)
     log.setLevel(level)
     log.propagate = False  # own handlers only; avoids ancestor double-logging
     formatter = logging.Formatter(format_string or _FORMAT, datefmt=_DATEFMT)
 
-    console = logging.StreamHandler(sys.stdout)
-    console.setLevel(level)
-    console.setFormatter(formatter)
-    log.addHandler(console)
+    if not any(
+        isinstance(h, logging.StreamHandler)
+        and not isinstance(h, logging.FileHandler)
+        for h in log.handlers
+    ):
+        console = logging.StreamHandler(sys.stdout)
+        console.setLevel(level)
+        console.setFormatter(formatter)
+        log.addHandler(console)
 
-    if log_file is not None:
+    if log_file is not None and not any(
+        isinstance(h, logging.FileHandler) for h in log.handlers
+    ):
         log_path = Path(log_file)
         log_path.parent.mkdir(parents=True, exist_ok=True)
         fh = logging.FileHandler(log_file, encoding="utf-8")
@@ -47,8 +58,14 @@ def setup_logger(
 
 
 def get_logger(name: str = "flow_vision") -> logging.Logger:
-    """Get an existing logger or create one with defaults."""
+    """Get a logger. Dotted children of "flow_vision" carry no handlers of
+    their own and propagate to the configured parent, so a file handler
+    attached to "flow_vision" captures every module's logs."""
     log = logging.getLogger(name)
+    if "." in name and name.startswith("flow_vision"):
+        setup_logger("flow_vision")  # ensure the parent is configured
+        log.propagate = True
+        return log
     if not log.handlers:
         return setup_logger(name)
     return log

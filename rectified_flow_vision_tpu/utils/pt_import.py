@@ -74,7 +74,12 @@ def _resblock(sd: Dict[str, np.ndarray], prefix: str) -> dict:
 
 
 def infer_architecture(sd: Dict[str, np.ndarray]) -> dict:
-    """Recover (model_channels, channel_mult, num_res_blocks) from shapes."""
+    """Recover (model_channels, channel_mult, num_res_blocks) from shapes.
+
+    num_levels comes from the downsample count (one per level except the
+    last), NOT from collapsing equal-channel runs — repeated multipliers
+    like channel_mult=[1, 2, 2, 4] must survive inference.
+    """
     model_channels = sd["velocity_net.input_conv.weight"].shape[0]
 
     enc_ids = sorted(
@@ -84,16 +89,25 @@ def infer_architecture(sd: Dict[str, np.ndarray]) -> dict:
             if k.startswith("velocity_net.enc_blocks.")
         }
     )
-    # out channels of each encoder block's conv1
+    num_downs = len(
+        {
+            int(k.split(".")[2])
+            for k in sd
+            if k.startswith("velocity_net.downsamples.")
+        }
+    )
+    num_levels = num_downs + 1
+    if len(enc_ids) % num_levels != 0:
+        raise ValueError(
+            f"cannot infer architecture: {len(enc_ids)} encoder blocks over "
+            f"{num_levels} levels"
+        )
+    num_res_blocks = len(enc_ids) // num_levels
+
     enc_out = [
         sd[f"velocity_net.enc_blocks.{i}.conv1.weight"].shape[0] for i in enc_ids
     ]
-    # channel_mult = unique run values; num_res_blocks = run length
-    channels: List[int] = []
-    for c in enc_out:
-        if not channels or channels[-1] != c:
-            channels.append(c)
-    num_res_blocks = len(enc_out) // len(channels)
+    channels = [enc_out[level * num_res_blocks] for level in range(num_levels)]
     channel_mult = [c // model_channels for c in channels]
     return {
         "model_channels": int(model_channels),

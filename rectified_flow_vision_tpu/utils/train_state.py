@@ -36,19 +36,23 @@ class TrainStateManager:
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def save(self, epoch: int, params, opt_state, losses: List[float]) -> None:
+    def save(
+        self, epoch: int, params, opt_state, losses: List[float], ema=None
+    ) -> None:
         state = {
             "params": params,
             "opt_state": opt_state,
             "losses": np.asarray(losses, np.float64),
         }
+        if ema is not None:
+            state["ema"] = ema
         self.manager.save(epoch, args=self._ocp.args.StandardSave(state))
 
     def restore(
         self, params_template, opt_state_template
-    ) -> Optional[Tuple[Any, Any, List[float], int]]:
-        """(params, opt_state, losses, next_epoch) from the latest epoch, or
-        None when no checkpoint exists."""
+    ) -> Optional[Tuple[Any, Any, List[float], int, Any]]:
+        """(params, opt_state, losses, next_epoch, ema_or_None) from the
+        latest epoch, or None when no checkpoint exists."""
         epoch = self.latest_epoch()
         if epoch is None:
             return None
@@ -65,7 +69,13 @@ class TrainStateManager:
             jax.tree_util.tree_structure(opt_state_template),
             jax.tree_util.tree_leaves(restored["opt_state"]),
         )
-        return params, opt_state, losses, epoch + 1
+        ema = None
+        if restored.get("ema") is not None:
+            ema = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params_template),
+                jax.tree_util.tree_leaves(restored["ema"]),
+            )
+        return params, opt_state, losses, epoch + 1, ema
 
     def wait(self) -> None:
         self.manager.wait_until_finished()

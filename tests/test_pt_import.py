@@ -193,3 +193,29 @@ class TestPtRoundTrip:
             np.asarray(a).size for a in jax.tree_util.tree_leaves(model.params)
         )
         assert n_sd == n_params
+
+
+class TestRepeatedMultInference:
+    def test_repeated_channel_mult_roundtrip(self):
+        """channel_mult with repeated entries (e.g. [1,2,2,4]) must survive
+        architecture inference (level count comes from downsamples, not
+        from collapsing equal-channel runs)."""
+        m = BaseFlowModel(
+            image_size=16, model_channels=8, channel_mult=[1, 2, 2],
+            num_res_blocks=2, sample_dtype="float32",
+        )
+        sd = params_to_state_dict(m.params, [1, 2, 2], 2)
+        arch = infer_architecture(sd)
+        assert arch == {
+            "model_channels": 8,
+            "channel_mult": [1, 2, 2],
+            "num_res_blocks": 2,
+        }
+        params, _ = state_dict_to_params(sd)
+        import jax
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(m.params),
+            jax.tree_util.tree_leaves(params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
