@@ -47,6 +47,7 @@ class ModelConfig:
     compute_dtype: str = "float32"  # training compute dtype
     sample_dtype: str = "bfloat16"  # inference/sampling compute dtype
     use_pallas: Optional[bool] = None  # None => auto (TPU backend only)
+    remat: bool = False  # rematerialize transformer blocks (long sequences)
 
 
 @dataclass

@@ -33,7 +33,8 @@ def build_model(cfg: Config, cls=BaseFlowModel):
         backbone=cfg.model.backbone,
     )
     if cfg.model.backbone == "dit":
-        kwargs.update(in_channels=3)  # pixel-space DiT unless a VAE is wired
+        # pixel-space DiT unless a VAE is wired
+        kwargs.update(in_channels=3, remat=cfg.model.remat)
     else:
         kwargs.update(
             model_channels=cfg.model.channels,

@@ -85,6 +85,7 @@ class BaseFlowModel:
         num_heads: int = 6,
         mlp_ratio: float = 4.0,
         dit_size: Optional[str] = None,
+        remat: bool = False,
         seed: int = 0,
         params: Optional[Params] = None,
         compute_dtype: str = "float32",
@@ -108,6 +109,7 @@ class BaseFlowModel:
                 num_heads=num_heads,
                 mlp_ratio=mlp_ratio,
                 size=dit_size,
+                remat=remat,
             )
         elif backbone == "unet":
             self.velocity_net = UNet(
@@ -158,6 +160,7 @@ class BaseFlowModel:
                 depth=c.depth,
                 num_heads=c.num_heads,
                 mlp_ratio=c.mlp_ratio,
+                remat=c.remat,
             )
         else:
             base.update(
