@@ -151,6 +151,20 @@ def _load_model(cls, cfg: Config, path: Path, name: str):
 
 
 def main(config: Optional[Config] = None) -> pd.DataFrame:
+    """Benchmark entry point. Set RFV_PROFILE=<logdir> to capture a
+    jax.profiler device trace of the speed sweep (TensorBoard-loadable)."""
+    import os
+
+    profile_dir = os.environ.get("RFV_PROFILE")
+    if profile_dir:
+        from rectified_flow_vision_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            return _main_impl(config)
+    return _main_impl(config)
+
+
+def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     cfg = config if config is not None else load_config()
 
     checkpoint_dir = repo_root() / cfg.paths.checkpoints
