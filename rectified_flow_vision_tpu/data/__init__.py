@@ -7,3 +7,7 @@ from rectified_flow_vision_tpu.data.dataset import (  # noqa: F401
     list_image_paths,
     load_image,
 )
+from rectified_flow_vision_tpu.data.packed import (  # noqa: F401
+    PackedCorpus,
+    pack_corpus,
+)
