@@ -75,6 +75,12 @@ class PackedCorpus:
     def __len__(self) -> int:
         return self.shape[0]
 
+    def num_batches(self, batch_size: int, drop_last: bool = True) -> int:
+        n = len(self)
+        if n == 0:
+            return 0
+        return n // batch_size if drop_last else -(-n // batch_size)
+
     def batches(
         self,
         batch_size: int,

@@ -584,10 +584,13 @@ def train_base_flow(
     failure-recovery capability the reference lacks (save-only,
     base_flow.py:210-226).
     """
-    from rectified_flow_vision_tpu.data.dataset import ImageDataset
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
-    is_dataset = isinstance(dataloader, ImageDataset)
+    # dataset protocol (ImageDataset, PackedCorpus, ...): per-epoch
+    # reshuffled fixed-shape batches + a known epoch length
+    is_dataset = hasattr(dataloader, "batches") and hasattr(
+        dataloader, "num_batches"
+    )
     native = None
     if is_dataset:
         if batch_size is None:
@@ -646,6 +649,8 @@ def train_base_flow(
                     ema = mesh_lib.shard_params(mesh, ema)
             log.info("Resumed training from epoch %d (%s)", start_epoch, resume_dir)
 
+    if not use_ema:
+        ema = None  # drop any EMA restored from an earlier ema_decay run
     if use_ema and ema is None:
         # fresh EMA only when there was nothing to restore: seeded from the
         # CURRENT (possibly restored) params, never a fresh init

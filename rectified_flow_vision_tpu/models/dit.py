@@ -119,13 +119,21 @@ def _flash_block_sizes(t: int):
                 block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
                 block_q_dq=blk,
             )
+    # no valid blocking (the kernel requires block | t, and even the library
+    # default of 128 would fail) — caller must take the XLA path
     return None
 
 
 def _attention(q: Array, k: Array, v: Array, *, use_flash: bool) -> Array:
     """[B, T, H, D] attention; flash kernel for long sequences on TPU."""
     b, t, h, d = q.shape
-    if use_flash and t >= _FLASH_MIN_SEQ and jax.default_backend() == "tpu":
+    blocks = _flash_block_sizes(t) if use_flash else None
+    if (
+        use_flash
+        and t >= _FLASH_MIN_SEQ
+        and blocks is not None
+        and jax.default_backend() == "tpu"
+    ):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
         out = fa.flash_attention(
@@ -134,7 +142,7 @@ def _attention(q: Array, k: Array, v: Array, *, use_flash: bool) -> Array:
             v.transpose(0, 2, 1, 3),
             causal=False,
             sm_scale=1.0 / math.sqrt(d),
-            block_sizes=_flash_block_sizes(t),
+            block_sizes=blocks,
         )
         return out.transpose(0, 2, 1, 3)
 

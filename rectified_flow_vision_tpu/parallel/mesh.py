@@ -53,7 +53,9 @@ def maybe_init_distributed() -> bool:
         jax.distributed.initialize()
         _DISTRIBUTED_INITIALIZED = True
         return True
-    except RuntimeError as exc:
+    except (RuntimeError, ValueError) as exc:
+        # ValueError covers stale/incomplete coordinator env vars on
+        # non-cluster machines ("Number of processes must be defined.")
         import logging
 
         logging.getLogger("flow_vision").warning(

@@ -231,12 +231,10 @@ class InceptionV3Features:
         # NCHW [-1,1] -> NHWC, bilinear 299x299 (the FID-standard input)
         x = jnp.transpose(images, (0, 2, 3, 1)).astype(jnp.float32)
         x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
-        # torchvision builds pretrained InceptionV3 with transform_input=True:
-        # per-channel x*(imagenet_std/0.5) + (imagenet_mean-0.5)/0.5 maps a
-        # [-1,1] input onto the ImageNet normalization the weights expect.
-        tscale = jnp.array([0.229, 0.224, 0.225], jnp.float32) / 0.5
-        tshift = (jnp.array([0.485, 0.456, 0.406], jnp.float32) - 0.5) / 0.5
-        x = x * tscale + tshift
+        # torchvision's pretrained trunk consumes [-1,1] directly: its
+        # transform_input step x*(std/0.5)+(mean-0.5)/0.5 maps an
+        # ImageNet-NORMALIZED input to [-1,1] (check: x=(p-0.485)/0.229
+        # gives 2p-1). Our inputs are already [-1,1], so no transform here.
         w = self.w
 
         x = _bconv(w, "Conv2d_1a_3x3", x)

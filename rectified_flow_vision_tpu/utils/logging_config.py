@@ -30,7 +30,10 @@ def setup_logger(
     ``log_file=`` request a silent no-op).
     """
     log = logging.getLogger(name)
-    log.setLevel(level)
+    if not log.handlers:
+        # only the first configuration sets the level; later calls (e.g. a
+        # lazy get_logger at import time) must not clobber a user's DEBUG
+        log.setLevel(level)
     log.propagate = False  # own handlers only; avoids ancestor double-logging
     formatter = logging.Formatter(format_string or _FORMAT, datefmt=_DATEFMT)
 

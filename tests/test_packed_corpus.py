@@ -77,3 +77,18 @@ class TestPackedCorpus:
             m, list(pc.batches(10, seed=0)), epochs=2, lr=1e-3, progress=False
         )
         assert len(losses) == 2
+
+    def test_train_base_flow_accepts_packed_corpus(self, corpus_file):
+        """PackedCorpus goes straight into train_base_flow (duck-typed
+        dataset protocol) without materializing the corpus."""
+        from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
+
+        pc = PackedCorpus(corpus_file)
+        m = BaseFlowModel(
+            image_size=16, model_channels=16, channel_mult=[1],
+            num_res_blocks=1, sample_dtype="float32",
+        )
+        losses = train_base_flow(
+            m, pc, epochs=2, lr=1e-3, batch_size=10, progress=False
+        )
+        assert len(losses) == 2
