@@ -136,5 +136,17 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     return rect_model
 
 
+def _cli() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--config", default=None, metavar="YAML",
+        help="config file (default: configs/config.yaml)",
+    )
+    args = parser.parse_args()
+    main(load_config(args.config) if args.config else None)
+
+
 if __name__ == "__main__":
-    main()
+    _cli()
