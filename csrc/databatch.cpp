@@ -46,10 +46,13 @@ struct Loader {
   long img_elems() const { return h * w * c; }
   long batches_per_epoch() const { return n / batch; }
 
-  // epoch state
+  // epoch state (all guarded by mu; `generation` bumps on every
+  // start_epoch so workers can detect that their claimed batch belongs
+  // to an abandoned epoch and must be discarded)
   std::vector<long> order;
-  std::atomic<long> next_batch_to_claim{0};
+  long next_batch_to_claim = 0;
   long epoch_batches = 0;
+  uint64_t generation = 0;
 
   // ring of finished batches, delivered strictly in order
   std::mutex mu;
@@ -66,13 +69,24 @@ struct Loader {
   void worker() {
     for (;;) {
       if (stop.load()) return;
-      if (!epoch_active.load()) {
-        std::this_thread::sleep_for(std::chrono::microseconds(200));
-        continue;
+      // Claim a batch and snapshot its image indices UNDER the mutex, so a
+      // concurrent start_epoch (which rewrites `order`/`epoch_batches`) can
+      // never race the gather below. The claimed generation tags the batch;
+      // completions from an abandoned epoch are discarded, not delivered.
+      long bi = -1;
+      uint64_t gen = 0;
+      std::vector<long> idx;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        if (epoch_active.load() && next_batch_to_claim < epoch_batches) {
+          bi = next_batch_to_claim++;
+          gen = generation;
+          idx.assign(order.begin() + bi * batch,
+                     order.begin() + (bi + 1) * batch);
+        }
       }
-      long bi = next_batch_to_claim.fetch_add(1);
-      if (bi >= epoch_batches) {
-        // epoch exhausted; park until the next start_epoch resets state
+      if (bi < 0) {
+        // no epoch active / epoch exhausted; park until the next start_epoch
         std::this_thread::sleep_for(std::chrono::microseconds(200));
         continue;
       }
@@ -82,8 +96,7 @@ struct Loader {
       // (v/255)*2-1 with true division — matches the Python pipeline
       // bit-exactly (255 -> exactly 1.0f; a reciprocal multiplier does not).
       for (long j = 0; j < batch; ++j) {
-        long img = order[bi * batch + j];
-        const uint8_t* src = corpus + img * img_elems();
+        const uint8_t* src = corpus + idx[j] * img_elems();
         float* dst = b.data.data() + j * img_elems();
         for (long k = 0; k < img_elems(); ++k) {
           dst[k] = static_cast<float>(src[k]) / 255.0f * 2.0f - 1.0f;
@@ -92,11 +105,12 @@ struct Loader {
       {
         std::unique_lock<std::mutex> lock(mu);
         cv_space.wait(lock, [&] {
-          return stop.load() ||
+          return stop.load() || gen != generation ||
                  static_cast<long>(ready.size() + out_of_order.size()) < depth ||
                  b.index == next_batch_to_deliver;
         });
         if (stop.load()) return;
+        if (gen != generation) continue;  // stale epoch: drop the batch
         out_of_order.push_back(std::move(b));
         // promote any batches now deliverable in order
         bool moved = true;
@@ -151,6 +165,7 @@ void rfv_loader_start_epoch(void* handle, long epoch) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lock(L->mu);
   L->epoch_active.store(false);
+  L->generation += 1;  // invalidates every batch claimed before this point
   while (!L->ready.empty()) L->ready.pop();
   L->out_of_order.clear();
 
@@ -165,8 +180,10 @@ void rfv_loader_start_epoch(void* handle, long epoch) {
 
   L->epoch_batches = L->batches_per_epoch();
   L->next_batch_to_deliver = 0;
-  L->next_batch_to_claim.store(0);
+  L->next_batch_to_claim = 0;
   L->epoch_active.store(true);
+  // wake both assemblers parked on cv_space (incl. stale-generation
+  // waiters, which now discard) and any consumer blocked in next()
   L->cv_space.notify_all();
 }
 

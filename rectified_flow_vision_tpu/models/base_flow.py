@@ -252,8 +252,12 @@ class BaseFlowModel:
 
     def forward(self, x, t, data_format: str = "NCHW") -> Array:
         """Predict the velocity field v(x, t) (reference: base_flow.py:91-102)."""
-        if self._velocity_jit is None:
+        # cache keyed on the attributes the closure bakes in, so toggling
+        # compute_dtype / use_pallas after a first call takes effect
+        key = (jnp.dtype(self.compute_dtype).name, bool(self.use_pallas))
+        if self._velocity_jit is None or self._velocity_jit[0] != key:
             net = self.velocity_net
+            compute_dtype, use_pallas = self.compute_dtype, self.use_pallas
 
             @jax.jit
             def _vel(params, x, t):
@@ -261,14 +265,14 @@ class BaseFlowModel:
                     params,
                     x,
                     t,
-                    compute_dtype=self.compute_dtype,
-                    use_pallas=self.use_pallas,
+                    compute_dtype=compute_dtype,
+                    use_pallas=use_pallas,
                 )
 
-            self._velocity_jit = _vel
+            self._velocity_jit = (key, _vel)
         x = _to_nhwc(x, data_format)
         t = jnp.asarray(t, jnp.float32)
-        return _from_nhwc(self._velocity_jit(self.params, x, t), data_format)
+        return _from_nhwc(self._velocity_jit[1](self.params, x, t), data_format)
 
     __call__ = forward
 
@@ -279,7 +283,13 @@ class BaseFlowModel:
         dtype,
         method: str = "euler",
     ):
-        key = (num_steps, bool(return_trajectory), jnp.dtype(dtype).name, method)
+        key = (
+            num_steps,
+            bool(return_trajectory),
+            jnp.dtype(dtype).name,
+            method,
+            bool(self.use_pallas),
+        )
         if key in self._sampler_cache:
             return self._sampler_cache[key]
 
@@ -606,6 +616,9 @@ def train_base_flow(
             else:
                 steps_per_epoch = native.batches_per_epoch
     else:
+        # generic iterable: materialize once, then reshuffle the cached
+        # batch list per epoch (seeded) to match the reference DataLoader's
+        # shuffle=True semantics rather than replaying one fixed order
         probe = list(dataloader)
         dataloader = probe
         steps_per_epoch = len(probe)
@@ -666,7 +679,10 @@ def train_base_flow(
                 else dataloader.batches(batch_size, seed=seed * 100003 + epoch)
             )
         else:
-            batches = dataloader
+            perm = np.random.default_rng(seed * 100003 + epoch).permutation(
+                len(dataloader)
+            )
+            batches = [dataloader[j] for j in perm]
         epoch_key = jax.random.fold_in(root_key, epoch)
 
         epoch_losses = []

@@ -77,6 +77,31 @@ class TestNativeLoader:
             assert len(list(ldr.epoch(e))) == 6
         ldr.close()
 
+    def test_abandoned_epoch_restart(self, corpus):
+        """Breaking out mid-epoch then restarting must not deliver stale
+        batches or shrink the prefetch ring (generation-counter fix)."""
+        ldr = NativeBatchLoader(corpus, 10, seed=7, workers=4, prefetch_depth=2)
+        lookup = {
+            (corpus[i].astype(np.float32) / 255.0 * 2.0 - 1.0).tobytes(): i
+            for i in range(50)
+        }
+        for trial in range(20):
+            it = ldr.epoch(trial)
+            next(it)  # consume one batch, abandon the rest mid-flight
+        # a full epoch after many abandons still covers each image exactly once
+        seen = []
+        for b in ldr.epoch(999):
+            for j in range(10):
+                seen.append(lookup[b[j].tobytes()])
+        assert sorted(seen) == list(range(50))
+        # and the shuffle is the epoch-999 shuffle, not a stale epoch's
+        ref = NativeBatchLoader(corpus, 10, seed=7, workers=1, prefetch_depth=2)
+        want = [x.copy() for x in ref.epoch(999)]
+        got = [x.copy() for x in ldr.epoch(999)]
+        for x, y in zip(want, got):
+            np.testing.assert_array_equal(x, y)
+        ldr.close(); ref.close()
+
     def test_batch_too_large_raises(self, corpus):
         with pytest.raises(ValueError):
             NativeBatchLoader(corpus, 51, seed=0)
