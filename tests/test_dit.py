@@ -10,6 +10,8 @@ from rectified_flow_vision_tpu.models import BaseFlowModel, RectifiedFlowModel
 from rectified_flow_vision_tpu.models.dit import DiT, DIT_SIZES
 from rectified_flow_vision_tpu.models.unet import count_parameters
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 def _tiny_dit():
     return DiT(input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=2, num_heads=4)

@@ -7,6 +7,8 @@ import pytest
 
 from rectified_flow_vision_tpu.config import Config
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):

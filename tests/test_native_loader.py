@@ -8,9 +8,12 @@ from rectified_flow_vision_tpu.data.native_loader import (
     native_available,
 )
 
-pytestmark = pytest.mark.skipif(
-    not native_available(), reason="lib/librfv_data.so not built"
-)
+pytestmark = [
+    pytest.mark.slow,  # train-loop integration tests
+    pytest.mark.skipif(
+        not native_available(), reason="lib/librfv_data.so not built"
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -14,6 +14,8 @@ from rectified_flow_vision_tpu.models import BaseFlowModel
 from rectified_flow_vision_tpu.models.base_flow import make_optimizer, make_train_step
 from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 def _tiny(seed=0):
     return BaseFlowModel(

@@ -13,6 +13,8 @@ from rectified_flow_vision_tpu.parallel.pipeline import (
     stack_block_params,
 )
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 @pytest.fixture(scope="module")
 def stage_mesh(eight_devices):

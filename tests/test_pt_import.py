@@ -22,6 +22,8 @@ from rectified_flow_vision_tpu.utils.pt_import import (  # noqa: E402
     state_dict_to_params,
 )
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 class TestLayoutMapping:
     def test_conv_oihw_to_hwio_numerics(self):

@@ -5,6 +5,8 @@ import pytest
 
 from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 def _tiny(seed=0):
     return BaseFlowModel(

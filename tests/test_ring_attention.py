@@ -12,6 +12,8 @@ from rectified_flow_vision_tpu.parallel.ring_attention import (
 )
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 @pytest.fixture(scope="module")
 def seq_mesh(eight_devices):

@@ -15,6 +15,8 @@ from rectified_flow_vision_tpu.models import (
 )
 from rectified_flow_vision_tpu.models.base_flow import make_epoch_cosine_schedule
 
+pytestmark = pytest.mark.slow  # heavy: training loops / e2e / multi-device jit
+
 
 def _tiny(seed=0):
     return BaseFlowModel(
