@@ -81,6 +81,9 @@ class BenchmarkConfig:
         default_factory=lambda: [1, 2, 4, 8, 16, 32, 64, 100]
     )
     num_runs: int = 5
+    # batch for the dependency-chained throughput sweep (the credible
+    # ms/img numbers on TPU); 0 disables and keeps latency-only columns
+    throughput_batch: int = 256
 
 
 @dataclass

@@ -104,6 +104,54 @@ def benchmark_speed(
     return results
 
 
+def benchmark_throughput(
+    model,
+    steps_list: list,
+    image_size: int,
+    batch_size: int = 256,
+    num_runs: int = 3,
+    chain: int = 4,
+):
+    """Dependency-chained throughput sweep (the credible ms/img on TPU).
+
+    The latency sweep (``benchmark_speed``) mirrors the reference's batch-4
+    methodology (reference: benchmark.py:43-69), but at TPU speeds a
+    batch-4 window measures dispatch/tunnel noise, not compute — committed
+    tables from it were non-monotonic in step count. Here each timed
+    window is ``chain`` sampler invocations whose OUTPUT feeds the next
+    input (so async dispatch can't hide work), ended by a scalar readback,
+    at a saturating batch. Same methodology as the headline bench.py.
+    """
+    results = []
+    key = jax.random.key(0)
+    noise = jax.random.normal(
+        key, (batch_size, image_size, image_size, model.in_channels)
+    )
+    for num_steps in steps_list:
+        sampler = model._get_sampler(num_steps, False, model.sample_dtype)
+        x = sampler(model.params, noise)
+        float(jnp.sum(x))  # warmup + compile, synced
+
+        times = []
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            x = noise
+            for _ in range(chain):
+                x = sampler(model.params, x)
+            float(jnp.sum(x))
+            times.append((time.perf_counter() - t0) / chain)
+        best = min(times)
+        results.append(
+            {
+                "num_steps": num_steps,
+                "time_per_image": best / batch_size,
+                "images_per_second": batch_size / best,
+                "batch_size": batch_size,
+            }
+        )
+    return results
+
+
 def benchmark_quality(model, reference_images, num_steps: int):
     """Quality vs reference images: SSIM + LPIPS (+ raw-pixel FID).
 
@@ -191,14 +239,26 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     log.info("=" * 60)
     log.info("Samples: %d, Steps: %s, Runs: %d", num_samples, steps_to_test, num_runs)
 
-    log.info("Benchmarking BASE model...")
-    base_results = benchmark_speed(
+    log.info("Benchmarking BASE model (latency, batch 4)...")
+    base_latency = benchmark_speed(
         base_model, num_samples, steps_to_test, image_size, num_runs
     )
-    log.info("Benchmarking RECTIFIED model...")
-    rect_results = benchmark_speed(
+    log.info("Benchmarking RECTIFIED model (latency, batch 4)...")
+    rect_latency = benchmark_speed(
         rect_model, num_samples, steps_to_test, image_size, num_runs
     )
+
+    tput_batch = getattr(cfg.benchmark, "throughput_batch", 256)
+    if tput_batch:
+        log.info("Benchmarking throughput (chained, batch %d)...", tput_batch)
+        base_results = benchmark_throughput(
+            base_model, steps_to_test, image_size, tput_batch
+        )
+        rect_results = benchmark_throughput(
+            rect_model, steps_to_test, image_size, tput_batch
+        )
+    else:
+        base_results, rect_results = base_latency, rect_latency
 
     log.info("-" * 60)
     log.info(
@@ -262,7 +322,19 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
                 quality_rows.append(
                     {"num_steps": steps, "model": "rectified", **q_rect}
                 )
-            log.info("Quality metrics computed for steps %s", few_steps)
+            # many-step base anchor: the measured support (or refutation)
+            # for the reference's rect@<=4 ~ base@64+ conclusion heuristic
+            many = max((s for s in steps_to_test if s >= 64), default=64)
+            quality_rows.append(
+                {
+                    "num_steps": many,
+                    "model": "base",
+                    **benchmark_quality(base_model, ref_imgs, many),
+                }
+            )
+            log.info(
+                "Quality metrics computed for steps %s + base@%d", few_steps, many
+            )
 
     # ---- persist ------------------------------------------------------------
     log.info("=" * 60)
@@ -279,6 +351,15 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         }
     )
     results_df["speedup"] = results_df["base_time_ms"] / results_df["rect_time_ms"]
+    if tput_batch:
+        # primary columns above come from the chained throughput sweep;
+        # the reference-methodology batch-4 latency is kept alongside
+        results_df["base_latency_ms_b4"] = [
+            r["time_per_image"] * 1000 for r in base_latency
+        ]
+        results_df["rect_latency_ms_b4"] = [
+            r["time_per_image"] * 1000 for r in rect_latency
+        ]
 
     csv_path = results_dir / "benchmark_results.csv"
     results_df.to_csv(csv_path, index=False)
@@ -359,12 +440,55 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     base_many = next((r for r in base_results if r["num_steps"] >= 64), None)
     if optimal and base_many:
         total_speedup = base_many["time_per_image"] / optimal["time_per_image"]
-        log.info(
-            "The RECTIFIED model with %d steps can match the quality of the "
-            "BASE model with 64+ steps.",
-            optimal["num_steps"],
+        # The reference prints its quality-match claim unconditionally
+        # (benchmark.py:287-306); here it must be SUPPORTED by the measured
+        # quality rows: best few-step rectified FID within 10% (or SSIM
+        # within 0.02) of the many-step base anchor.
+        claim_supported = None  # None = no quality data to judge with
+        anchor = next(
+            (
+                r for r in quality_rows
+                if r["model"] == "base" and r["num_steps"] >= 64
+            ),
+            None,
         )
-        log.info("Estimated total speedup: %.1fx faster", total_speedup)
+        rect_few = [
+            r for r in quality_rows
+            if r["model"] == "rectified" and r["num_steps"] <= 4
+        ]
+        if anchor and rect_few:
+            best_rect = min(rect_few, key=lambda r: r["fid_simple"])
+            claim_supported = best_rect["fid_simple"] <= 1.10 * anchor[
+                "fid_simple"
+            ] or best_rect["ssim_mean"] >= anchor["ssim_mean"] - 0.02
+            log.info(
+                "Measured quality: rect@%d FID %.1f / SSIM %.3f vs "
+                "base@%d FID %.1f / SSIM %.3f",
+                best_rect["num_steps"], best_rect["fid_simple"],
+                best_rect["ssim_mean"], anchor["num_steps"],
+                anchor["fid_simple"], anchor["ssim_mean"],
+            )
+        if claim_supported:
+            log.info(
+                "The RECTIFIED model with %d steps matches the quality of "
+                "the BASE model with %d+ steps (measured above).",
+                best_rect["num_steps"], anchor["num_steps"],
+            )
+            log.info("Measured total speedup: %.1fx faster", total_speedup)
+        elif claim_supported is None:
+            log.info(
+                "Per-step speedup at <=4 steps is %.1fx; no quality rows "
+                "were computed, so no quality-match claim is made.",
+                total_speedup,
+            )
+        else:
+            log.info(
+                "Few-step rectified quality does NOT yet match the "
+                "many-step base on this run (see quality_results.csv); "
+                "the %.1fx step-count speedup is reported without a "
+                "quality-parity claim.",
+                total_speedup,
+            )
 
     best = max(r["images_per_second"] for r in rect_results if r["num_steps"] <= 4)
     log.info("Peak few-step throughput: %.1f images/sec/chip", best)

@@ -49,18 +49,32 @@ class MetricsCalculator:
 
     @property
     def lpips_model(self):
-        """Lazy-loaded LPIPS evaluator; None when weights are unavailable."""
+        """Lazy-loaded perceptual-distance evaluator.
+
+        Preference order: real pretrained LPIPS (weights/lpips_alex.npz)
+        -> SynthNet stand-in (weights/synthnet.npz, trained on the
+        evaluation domain by tools/train_synthnet.py) -> None (NaN, the
+        reference's fallback contract, metrics.py:33-36).
+        """
         if self._lpips_model is None:
             try:
                 from rectified_flow_vision_tpu.utils.lpips_jax import LPIPS
 
                 self._lpips_model = LPIPS.load_default()
             except (ImportError, FileNotFoundError):
-                print(
-                    "LPIPS weights not available. Convert them with "
-                    "tools/convert_lpips_weights.py to enable LPIPS."
-                )
-                return None
+                try:
+                    from rectified_flow_vision_tpu.utils.synthnet import (
+                        SynthNetPerceptual,
+                    )
+
+                    self._lpips_model = SynthNetPerceptual.load_default()
+                except (ImportError, FileNotFoundError):
+                    print(
+                        "No perceptual backbone available. Convert LPIPS "
+                        "weights (tools/convert_lpips_weights.py) or train "
+                        "the stand-in (tools/train_synthnet.py)."
+                    )
+                    return None
         return self._lpips_model
 
     def compute_lpips(self, img1, img2) -> float:
@@ -81,19 +95,31 @@ class MetricsCalculator:
 
                 self._inception_model = InceptionV3Features.load_default()
             except FileNotFoundError:
-                print(
-                    "InceptionV3 weights not available. Convert them with "
-                    "tools/convert_inception_weights.py to enable real FID."
-                )
-                return None
+                try:
+                    from rectified_flow_vision_tpu.utils.synthnet import (
+                        SynthNetPerceptual,
+                    )
+
+                    self._inception_model = (
+                        SynthNetPerceptual.load_default().fid_features
+                    )
+                except (ImportError, FileNotFoundError):
+                    print(
+                        "No FID feature backbone available. Convert Inception "
+                        "weights (tools/convert_inception_weights.py) or "
+                        "train the stand-in (tools/train_synthnet.py)."
+                    )
+                    return None
         return self._inception_model
 
     def compute_fid_inception(self, real_images, generated_images) -> float:
-        """Standard FID over InceptionV3 pool3 (2048-d) features.
+        """Standard FID over learned classifier features.
 
         The production FID the reference's comment points at
-        (utils/metrics.py:84-88). NaN without pretrained weights (the same
-        fallback contract as LPIPS). Inputs: [B, C, H, W] in [-1, 1].
+        (utils/metrics.py:84-88): InceptionV3 pool3 (2048-d) when
+        weights/inception_v3.npz exists, otherwise the SynthNet stand-in's
+        pooled penultimate features (256-d, trained on the evaluation
+        domain), otherwise NaN. Inputs: [B, C, H, W] in [-1, 1].
         """
         model = self.inception_model
         if model is None:
@@ -213,7 +239,7 @@ class MetricsCalculator:
         model,
         num_samples: int,
         num_steps: int,
-        batch_size: int = 1,
+        batch_size: Optional[int] = None,
         num_runs: int = 5,
         image_size: int = 64,
     ) -> Dict[str, float]:
@@ -221,8 +247,17 @@ class MetricsCalculator:
 
         Warmup run compiles the scan executable; every timed run ends with
         ``block_until_ready`` so XLA's async dispatch cannot hide work.
+        ``batch_size=None`` picks a device-appropriate default: the
+        reference's batch 1 (metrics.py:118-123) measures per-call dispatch
+        on an accelerator, not generation speed.
         """
         import jax
+
+        if batch_size is None:
+            batch_size = min(
+                num_samples, 64 if jax.default_backend() == "tpu" else 4
+            )
+            batch_size = max(batch_size, 1)
 
         times: List[float] = []
         key = jax.random.key(0)

@@ -1,0 +1,274 @@
+"""SynthNet: a trained stand-in feature backbone for FID / LPIPS.
+
+The reference computes real LPIPS only when the ``lpips`` pip package (and
+its pretrained AlexNet) is installed, with a NaN fallback otherwise
+(reference: utils/metrics.py:25-36,56-71), and its FID uses raw pixels with
+the comment "In production, use Inception v3" (reference:
+utils/metrics.py:84-88). This environment has no egress and no pretrained
+vision weights on disk, so both learned-feature metrics would permanently
+ship NaN. SynthNet closes that gap the same way Inception-FID does in
+principle — features from a *classifier trained on the evaluation domain*:
+
+* The synthetic corpus (reference: utils/download_data.py:51-101) is fully
+  procedurally generated: a random background plus 3-7 shapes, each a
+  circle, rectangle, or linear gradient. The generator therefore yields
+  free labels: the per-type shape counts.
+* SynthNet is a small VGG-style convnet trained to predict those three
+  count distributions (3 softmax heads x 8 classes). Detecting and
+  counting shapes forces discriminative, spatially-aware features.
+* FID features = the globally pooled penultimate activations (256-d),
+  exactly Inception-pool3's role.
+* Perceptual distance = LPIPS's recipe with uniform layer weights
+  (unit-normalize each stage's features, squared difference, spatial and
+  channel mean, sum over the 4 stages) — the ``lpips`` package calls this
+  the "baseline" (non-learned-linear) variant.
+
+Weights are trained by ``tools/train_synthnet.py`` and committed at
+``weights/synthnet.npz`` so quality CSVs never ship NaN columns. If the
+*real* pretrained weights (``weights/lpips_alex.npz`` /
+``weights/inception_v3.npz``) are provided, they take precedence — see
+``MetricsCalculator``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectified_flow_vision_tpu.config import repo_root
+from rectified_flow_vision_tpu.ops import primitives as P
+
+DEFAULT_WEIGHTS_PATH = repo_root() / "weights" / "synthnet.npz"
+
+STAGE_CHANNELS = (32, 64, 128, 256)
+NUM_TYPES = 3  # circle, rectangle, gradient
+MAX_COUNT = 7  # 0..7 shapes of a type per image
+
+
+# ---- model ------------------------------------------------------------------
+
+
+def init_params(key, in_channels: int = 3) -> Dict:
+    """Initialise the SynthNet parameter pytree."""
+    params: Dict = {}
+    cin = in_channels
+    keys = jax.random.split(key, 2 * len(STAGE_CHANNELS) + 1)
+    ki = 0
+    for s, ch in enumerate(STAGE_CHANNELS):
+        params[f"s{s}_conv0"] = P.conv_init(keys[ki], 3, 3, cin, ch)
+        params[f"s{s}_gn0"] = P.groupnorm_init(ch)
+        ki += 1
+        params[f"s{s}_conv1"] = P.conv_init(keys[ki], 3, 3, ch, ch)
+        params[f"s{s}_gn1"] = P.groupnorm_init(ch)
+        ki += 1
+        cin = ch
+    params["head"] = P.dense_init(
+        keys[ki], STAGE_CHANNELS[-1], NUM_TYPES * (MAX_COUNT + 1)
+    )
+    return params
+
+
+def _avgpool_2x2(x):
+    return jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    ) * 0.25
+
+
+def apply(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Forward pass.
+
+    Args:
+        x: [B, H, W, C] images in [-1, 1].
+
+    Returns:
+        (logits [B, NUM_TYPES, MAX_COUNT+1], stage taps list of [B,h,w,c]).
+    """
+    h = x.astype(jnp.float32)
+    taps: List[jnp.ndarray] = []
+    for s in range(len(STAGE_CHANNELS)):
+        h = P.conv2d(h, params[f"s{s}_conv0"])
+        h = jax.nn.relu(P.group_norm(h, params[f"s{s}_gn0"]))
+        h = P.conv2d(h, params[f"s{s}_conv1"])
+        h = jax.nn.relu(P.group_norm(h, params[f"s{s}_gn1"]))
+        taps.append(h)
+        h = _avgpool_2x2(h)
+    pooled = jnp.mean(h, axis=(1, 2))  # [B, 256]
+    logits = P.dense(pooled, params["head"]).reshape(
+        -1, NUM_TYPES, MAX_COUNT + 1
+    )
+    return logits, taps
+
+
+# ---- labeled data -----------------------------------------------------------
+
+
+def synthesize_labeled_image(
+    rng: np.random.Generator, size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One procedural image + its per-type shape counts.
+
+    Identical recipe to ``download_data.synthesize_image`` (itself matching
+    reference utils/download_data.py:62-95), but records which painter ran.
+    """
+    from rectified_flow_vision_tpu.utils.download_data import _PAINTERS
+
+    img = np.empty((size, size, 3), dtype=np.uint8)
+    img[:, :] = rng.integers(0, 256, 3)
+    counts = np.zeros(NUM_TYPES, np.int32)
+    for _ in range(int(rng.integers(3, 8))):
+        t = int(rng.integers(0, NUM_TYPES))
+        _PAINTERS[t](img, rng, size)
+        counts[t] += 1
+    return img, counts
+
+
+def make_labeled_corpus(
+    n: int, size: int = 64, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[N,H,W,C] float32 images in [-1,1] + [N,NUM_TYPES] count labels."""
+    rng = np.random.default_rng(seed)
+    imgs = np.empty((n, size, size, 3), np.float32)
+    labels = np.empty((n, NUM_TYPES), np.int32)
+    for i in range(n):
+        img, cnt = synthesize_labeled_image(rng, size)
+        imgs[i] = img.astype(np.float32) / 255.0 * 2.0 - 1.0
+        labels[i] = cnt
+    return imgs, labels
+
+
+# ---- training ---------------------------------------------------------------
+
+
+def train_synthnet(
+    n_train: int = 6144,
+    n_val: int = 512,
+    size: int = 64,
+    batch: int = 128,
+    epochs: int = 20,
+    lr: float = 3e-4,
+    seed: int = 0,
+    progress: bool = True,
+) -> Tuple[Dict, float]:
+    """Train SynthNet on generated labeled data; returns (params, val_acc)."""
+    import optax
+
+    x_tr, y_tr = make_labeled_corpus(n_train, size, seed=seed)
+    x_va, y_va = make_labeled_corpus(n_val, size, seed=seed + 1)
+
+    params = init_params(jax.random.key(seed))
+    steps_per_epoch = n_train // batch
+    sched = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, xb, yb):
+        logits, _ = apply(p, xb)  # [B, T, 8]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(yb, MAX_COUNT + 1)
+        return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+    @jax.jit
+    def train_step(p, s, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    @jax.jit
+    def val_acc_fn(p, xb, yb):
+        logits, _ = apply(p, xb)
+        return jnp.mean(jnp.argmax(logits, -1) == yb)
+
+    rng = np.random.default_rng(seed)
+    for epoch in range(epochs):
+        perm = rng.permutation(n_train)
+        losses = []
+        for i in range(steps_per_epoch):
+            sl = perm[i * batch : (i + 1) * batch]
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(x_tr[sl]), jnp.asarray(y_tr[sl])
+            )
+            losses.append(loss)
+        if progress:
+            acc = float(val_acc_fn(params, jnp.asarray(x_va), jnp.asarray(y_va)))
+            print(
+                f"[synthnet] epoch {epoch + 1}/{epochs} "
+                f"loss {float(jnp.mean(jnp.stack(losses))):.4f} val_acc {acc:.3f}",
+                flush=True,
+            )
+    val_acc = float(val_acc_fn(params, jnp.asarray(x_va), jnp.asarray(y_va)))
+    return params, val_acc
+
+
+def save_weights(params: Dict, path=DEFAULT_WEIGHTS_PATH) -> None:
+    flat = {}
+    for k, sub in params.items():
+        for name, arr in sub.items():
+            flat[f"{k}/{name}"] = np.asarray(arr)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_weights(path=DEFAULT_WEIGHTS_PATH) -> Dict:
+    params: Dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            k, name = key.split("/")
+            params.setdefault(k, {})[name] = jnp.asarray(data[key])
+    return params
+
+
+# ---- metric adapters (LPIPS-compatible interface) ----------------------------
+
+
+class SynthNetPerceptual:
+    """Drop-in for ``lpips_jax.LPIPS``: callable distance + ``fid_features``."""
+
+    backbone_name = "synthnet"
+
+    def __init__(self, params: Dict):
+        self.params = params
+        self._dist = jax.jit(self._distance)
+        self._feats = jax.jit(self._fid_features)
+
+    @classmethod
+    def load_default(cls) -> "SynthNetPerceptual":
+        if not DEFAULT_WEIGHTS_PATH.exists():
+            raise FileNotFoundError(
+                f"SynthNet weights not found at {DEFAULT_WEIGHTS_PATH}; run "
+                "tools/train_synthnet.py to train them."
+            )
+        return cls(load_weights())
+
+    def _distance(self, img1, img2):
+        # NCHW [-1,1] -> NHWC
+        x1 = jnp.transpose(img1, (0, 2, 3, 1)).astype(jnp.float32)
+        x2 = jnp.transpose(img2, (0, 2, 3, 1)).astype(jnp.float32)
+        _, taps1 = apply(self.params, x1)
+        _, taps2 = apply(self.params, x2)
+        total = 0.0
+        for a, b in zip(taps1, taps2):
+            na = a / (jnp.sqrt(jnp.sum(a**2, -1, keepdims=True)) + 1e-10)
+            nb = b / (jnp.sqrt(jnp.sum(b**2, -1, keepdims=True)) + 1e-10)
+            total = total + jnp.mean((na - nb) ** 2, axis=(1, 2, 3))
+        return total
+
+    def __call__(self, img1, img2) -> np.ndarray:
+        """Perceptual distances for [B, C, H, W] batches in [-1, 1]."""
+        return np.asarray(self._dist(jnp.asarray(img1), jnp.asarray(img2)))
+
+    def _fid_features(self, images):
+        x = jnp.transpose(images, (0, 2, 3, 1)).astype(jnp.float32)
+        _, taps = apply(self.params, x)
+        return jnp.mean(taps[-1], axis=(1, 2))  # [B, 256]
+
+    def fid_features(self, images) -> np.ndarray:
+        """Pooled penultimate features of [B,C,H,W] images in [-1,1]."""
+        return np.asarray(self._feats(jnp.asarray(images)))
