@@ -139,3 +139,91 @@ def pipeline_apply(
     )
     out = fn(stacked_params, x_mb, c_mb)
     return out.reshape((b,) + tokens.shape[1:])
+
+
+# ---- pipeline-parallel TRAINING -------------------------------------------
+#
+# The pipelined forward above is built from differentiable collectives
+# (ppermute's transpose is ppermute with the inverted permutation, psum's
+# is broadcast), so jax.grad through it IS GPipe training: the backward
+# pass pipelines the cotangents stage-to-stage in the reverse schedule,
+# with XLA holding each tick's activations (or recomputing them under
+# jax.checkpoint). No hand-written backward schedule is needed — the
+# schedule is the transpose of the forward one.
+
+
+def split_pipeline_params(params: Params, mesh: Mesh, stage_axis: str = "stage"):
+    """Full DiT params -> (rest, stacked_blocks) in pipeline layout.
+
+    ``rest`` is everything outside the block stack (patchify, pos-embed,
+    time MLP, final head) and stays replicated; block params are stacked
+    to [S, L/S, ...] and sharded over the stage axis.
+    """
+    rest = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = shard_stage_params(
+        mesh, stack_block_params(params["blocks"], mesh.shape[stage_axis]),
+        stage_axis,
+    )
+    return rest, stacked
+
+
+def merge_pipeline_params(rest: Params, stacked: Params) -> Params:
+    """Inverse of split_pipeline_params (for checkpointing / sampling)."""
+    num_stages = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    per = jax.tree_util.tree_leaves(stacked)[0].shape[1]
+    blocks = {}
+    for i in range(num_stages * per):
+        s, j = divmod(i, per)
+        blocks[str(i)] = jax.tree_util.tree_map(lambda a: a[s, j], stacked)
+    return {**rest, "blocks": blocks}
+
+
+def make_pipeline_train_step(
+    dit,
+    tx,
+    mesh: Mesh,
+    *,
+    stage_axis: str = "stage",
+    num_microbatches: int = None,
+    compute_dtype=jnp.float32,
+):
+    """Jitted flow-matching train step through the staged block stack.
+
+    Arguments mirror ``models.base_flow.make_train_step`` but the params
+    travel in pipeline layout (rest, stacked_blocks) — see
+    ``split_pipeline_params``. Gradient averaging over any data axis and
+    the stage-sharded block updates are both emitted by GSPMD.
+    """
+    import functools
+
+    import optax
+
+    def loss_fn(rest, blocks, x1, x0, t):
+        tb = t[:, None, None, None].astype(jnp.float32)
+        x_t = (1.0 - tb) * x0 + tb * x1
+        target = (x1 - x0).astype(jnp.float32)
+        pred = dit.pipeline_apply(
+            rest,
+            x_t,
+            t,
+            mesh,
+            stacked_blocks=blocks,
+            stage_axis=stage_axis,
+            num_microbatches=num_microbatches,
+            compute_dtype=compute_dtype,
+        )
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(rest, blocks, opt_state, x1, rng):
+        k0, kt = jax.random.split(jax.random.fold_in(rng, 0))
+        x0 = jax.random.normal(k0, x1.shape, jnp.float32)
+        t = jax.random.uniform(kt, (x1.shape[0],), jnp.float32)
+        loss_val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rest, blocks, x1.astype(jnp.float32), x0, t
+        )
+        updates, opt_state = tx.update(grads, opt_state, (rest, blocks))
+        rest, blocks = optax.apply_updates((rest, blocks), updates)
+        return rest, blocks, opt_state, loss_val
+
+    return train_step, loss_fn
