@@ -123,6 +123,7 @@ class BaseFlowModel:
             )
         else:
             raise ValueError(f"unknown backbone {backbone!r} (unet|dit)")
+        self.remat = bool(remat)
         self.compute_dtype = _DTYPES[compute_dtype]
         self.sample_dtype = _DTYPES[sample_dtype]
         if use_pallas is None:
@@ -229,6 +230,9 @@ class BaseFlowModel:
         else:
             raise ValueError(f"unknown time_sampling {time_sampling!r}")
         x_t, target = self.get_interpolation(x0, x1, t)
+        extra = (
+            {"remat": self.remat} if self.backbone == "unet" else {}
+        )  # DiT takes remat at construction (cfg.remat)
         pred = self.velocity_net.apply(
             params,
             x_t,
@@ -237,6 +241,7 @@ class BaseFlowModel:
             rng=k_drop,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            **extra,
         )
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
@@ -552,6 +557,83 @@ def make_train_step(
     return train_step_ema
 
 
+def make_train_epoch(
+    model: BaseFlowModel,
+    tx,
+    *,
+    coupled: bool,
+    ema_decay: Optional[float] = None,
+    time_sampling: str = "uniform",
+):
+    """Whole-epoch training as ONE jitted ``lax.scan`` over steps.
+
+    The corpus lives on device; each scan step gathers its batch by index,
+    so an epoch is a single dispatch with zero per-step host involvement.
+    On this TPU tunnel the per-step host loop costs more than the step's
+    compute (a 12 MB batch upload ~300 ms vs a 133 ms bf16 step), so this
+    is the difference between ~540 and ~1900 img/s. Step math and RNG
+    (``fold_in(epoch_key, i)``) are identical to ``make_train_step``, and
+    the batch permutation is computed host-side exactly like
+    ``ImageDataset.batches`` — the training trajectory is bit-compatible
+    with the per-step path.
+    """
+
+    def step_loss(params, batch, rng):
+        if coupled:
+            x0, x1 = batch
+            return model.loss_fn(
+                params, x1, rng, x0=x0, train=True, time_sampling=time_sampling
+            )
+        return model.loss_fn(
+            params, batch, rng, train=True, time_sampling=time_sampling
+        )
+
+    use_ema = ema_decay is not None
+    d = float(ema_decay) if use_ema else 0.0
+
+    def epoch_fn(params, ema, opt_state, corpus, perm, epoch_key):
+        # corpus: [N,H,W,C] on device ((x0,x1) pair of those when coupled);
+        # perm: [steps, B] int32 gather indices for every step of the epoch.
+        def body(carry, inp):
+            params, ema, opt_state = carry
+            i, idx = inp
+            if coupled:
+                batch = (
+                    jnp.take(corpus[0], idx, axis=0),
+                    jnp.take(corpus[1], idx, axis=0),
+                )
+            else:
+                batch = jnp.take(corpus, idx, axis=0)
+            rng = jax.random.fold_in(epoch_key, i)
+            loss_val, grads = jax.value_and_grad(step_loss)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: (p + u.astype(p.dtype)), params, updates
+            )
+            if use_ema:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    ema,
+                    params,
+                )
+            return (params, ema, opt_state), loss_val
+
+        steps = perm.shape[0]
+        (params, ema, opt_state), losses = jax.lax.scan(
+            body,
+            (params, ema, opt_state),
+            (jnp.arange(steps), perm),
+        )
+        return params, ema, opt_state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+
+
+# corpora larger than this stay on the host per-step path (the device
+# epoch scan keeps the whole corpus in HBM)
+DEVICE_EPOCH_MAX_BYTES = 2 * 1024**3
+
+
 def make_optimizer(lr: float, epochs: int, steps_per_epoch: int):
     """AdamW (torch-default hyperparams) + epoch-cosine LR + grad clip 1.0."""
     import optax
@@ -581,6 +663,7 @@ def train_base_flow(
     resume_dir: Optional[str] = None,
     use_native_loader: bool = False,
     ema_decay: Optional[float] = None,
+    device_epoch: Optional[bool] = None,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
@@ -629,6 +712,30 @@ def train_base_flow(
     params = model.params
     opt_state = tx.init(params)
     use_ema = ema_decay is not None and ema_decay > 0
+
+    # Device-resident epoch scan (one dispatch per epoch, corpus in HBM):
+    # the default on an accelerator when the corpus fits. Same step math,
+    # RNG streams, and batch permutations as the per-step path.
+    corpus_host = getattr(dataloader, "images", None) if is_dataset else None
+    if device_epoch is None:
+        device_epoch = (
+            is_dataset
+            and native is None
+            and mesh is None
+            and corpus_host is not None
+            and 0 < len(dataloader)
+            and corpus_host.nbytes <= DEVICE_EPOCH_MAX_BYTES
+            and jax.default_backend() != "cpu"
+        )
+    if device_epoch and corpus_host is None:
+        raise ValueError("device_epoch=True needs a dataset with .images")
+    train_epoch = None
+    corpus_dev = None
+    if device_epoch:
+        corpus_dev = jnp.asarray(corpus_host)
+        train_epoch = make_train_epoch(
+            model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
+        )
     train_step = make_train_step(
         model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
     )
@@ -672,37 +779,59 @@ def train_base_flow(
             ema = mesh_lib.shard_params(mesh, ema)
 
     for epoch in range(start_epoch, epochs):
-        if is_dataset:
-            batches = (
-                native.epoch(epoch)
-                if native is not None
-                else dataloader.batches(batch_size, seed=seed * 100003 + epoch)
-            )
-        else:
-            perm = np.random.default_rng(seed * 100003 + epoch).permutation(
-                len(dataloader)
-            )
-            batches = [dataloader[j] for j in perm]
         epoch_key = jax.random.fold_in(root_key, epoch)
-
-        epoch_losses = []
         t0 = time.time()
-        for i, batch in enumerate(batches):
-            step_key = jax.random.fold_in(epoch_key, i)
-            batch = jnp.asarray(batch)
-            if mesh is not None and batch.shape[0] % mesh.shape["data"] == 0:
-                batch = mesh_lib.shard_batch(mesh, batch)
-            if use_ema:
-                params, ema, opt_state, loss_val = train_step(
-                    params, ema, opt_state, batch, step_key
+
+        if device_epoch:
+            # same permutation recipe as ImageDataset.batches
+            n = len(dataloader)
+            idx = np.arange(n)
+            np.random.default_rng(seed * 100003 + epoch).shuffle(idx)
+            if n < batch_size:
+                idx = np.tile(idx, -(-batch_size // n))[:batch_size]
+                n = batch_size
+            end = n - (n % batch_size)
+            perm = jnp.asarray(
+                idx[:end].reshape(-1, batch_size), dtype=jnp.int32
+            )
+            params, ema, opt_state, step_losses = train_epoch(
+                params, ema, opt_state, corpus_dev, perm, epoch_key
+            )
+            avg_loss = float(jnp.mean(step_losses))
+        else:
+            if is_dataset:
+                batches = (
+                    native.epoch(epoch)
+                    if native is not None
+                    else dataloader.batches(
+                        batch_size, seed=seed * 100003 + epoch
+                    )
                 )
             else:
-                params, opt_state, loss_val = train_step(
-                    params, opt_state, batch, step_key
-                )
-            epoch_losses.append(loss_val)
+                perm = np.random.default_rng(
+                    seed * 100003 + epoch
+                ).permutation(len(dataloader))
+                batches = [dataloader[j] for j in perm]
 
-        avg_loss = float(np.mean([jax.device_get(l) for l in epoch_losses]))
+            epoch_losses = []
+            for i, batch in enumerate(batches):
+                step_key = jax.random.fold_in(epoch_key, i)
+                batch = jnp.asarray(batch)
+                if mesh is not None and batch.shape[0] % mesh.shape["data"] == 0:
+                    batch = mesh_lib.shard_batch(mesh, batch)
+                if use_ema:
+                    params, ema, opt_state, loss_val = train_step(
+                        params, ema, opt_state, batch, step_key
+                    )
+                else:
+                    params, opt_state, loss_val = train_step(
+                        params, opt_state, batch, step_key
+                    )
+                epoch_losses.append(loss_val)
+
+            avg_loss = float(
+                np.mean([jax.device_get(l) for l in epoch_losses])
+            )
         losses.append(avg_loss)
         if progress:
             log.info(

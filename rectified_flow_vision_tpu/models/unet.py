@@ -105,8 +105,13 @@ def _resblock_apply(
     t_bias = P.dense(P.silu(t_emb), p["time"])
     h = h + t_bias[:, None, None, :].astype(h.dtype)
 
-    h = F.gn_silu(h, p["norm2"], num_groups=cfg.num_groups, use_pallas=use_pallas)
-    h = P.dropout(h, cfg.dropout, rng, train=train)
+    # gn -> silu -> dropout fused into one Pallas pass on TPU (hardware
+    # PRNG, mask regenerated in backward — see ops/fused.py); falls back
+    # to the XLA chain off-TPU or in eval mode
+    h = F.gn_silu_dropout(
+        h, p["norm2"], cfg.dropout, rng, train=train,
+        num_groups=cfg.num_groups, use_pallas=use_pallas,
+    )
     h = P.conv2d(h, p["conv2"])
 
     shortcut = P.conv2d(x, p["shortcut"]) if "shortcut" in p else x
@@ -221,8 +226,15 @@ class UNet:
         rng: Optional[Array] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = False,
+        remat: bool = False,
     ) -> Array:
-        """Velocity prediction v(x, t). x: [B, H, W, C] NHWC; t: [B] in [0,1]."""
+        """Velocity prediction v(x, t). x: [B, H, W, C] NHWC; t: [B] in [0,1].
+
+        ``remat`` recomputes each residual block in the backward pass
+        (jax.checkpoint). The train step is HBM-bandwidth-bound (~52 GB
+        traffic vs 9.7 TFLOP at batch 256), so trading recompute FLOPs for
+        activation traffic is a throughput win, not just a memory one.
+        """
         cfg = self.cfg
         x = x.astype(compute_dtype)
 
@@ -242,10 +254,17 @@ class UNet:
             rngs = [None] * n_rngs
         rng_it = iter(rngs)
 
-        def res(p, h):
+        def _res_fn(p, h, temb, block_rng):
             return _resblock_apply(
-                p, h, t_emb, cfg=cfg, train=train, rng=next(rng_it), use_pallas=use_pallas
+                p, h, temb, cfg=cfg, train=train, rng=block_rng,
+                use_pallas=use_pallas,
             )
+
+        if remat:
+            _res_fn = jax.checkpoint(_res_fn)
+
+        def res(p, h):
+            return _res_fn(p, h, t_emb, next(rng_it))
 
         h = P.conv2d(x, params["input_conv"])
 

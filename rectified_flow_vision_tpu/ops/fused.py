@@ -132,3 +132,134 @@ def attention(
     if use_pallas and pallas_available():
         return _attention_pallas(x, p, num_heads, num_groups)
     return P.spatial_attention(x, p, num_heads=num_heads, num_groups=num_groups)
+
+
+# ---------------------------------------------------------------------------
+# Hardware-PRNG dropout
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (64x64 UNet train step, batch 256, bf16): XLA dropout
+# costs 38 ms of the 134 ms step (threefry bit generation + the mask select
+# breaking gn_silu->conv fusion + mask re-reads in backward). The Pallas
+# kernel generates bits with the on-core PRNG and the custom VJP
+# REGENERATES the mask from the saved int32 seed, so no mask tensor is ever
+# written to or read from HBM. Unlike gn_silu/attention (XLA wins, default
+# off), this kernel wins and is on by default whenever shapes allow.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dropout_pallas(x: Array, seed: Array, rate: float) -> Array:
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    return K.dropout(x, seed, rate)
+
+
+def _dropout_fwd(x, seed, rate):
+    return _dropout_pallas(x, seed, rate), seed
+
+
+def _dropout_bwd(rate, seed, g):
+    # dropout's VJP is the same masking op; same seed => identical mask
+    return _dropout_pallas(g, seed, rate), None
+
+
+_dropout_pallas.defvjp(_dropout_fwd, _dropout_bwd)
+
+
+def dropout(
+    x: Array,
+    rate: float,
+    rng: Optional[Array],
+    *,
+    train: bool,
+    use_pallas: Optional[bool] = None,
+) -> Array:
+    """Dropout: hardware-PRNG Pallas kernel on TPU, XLA elsewhere.
+
+    ``use_pallas=None`` auto-enables the kernel when available and the
+    shape tiles cleanly. The two paths draw different (equally valid)
+    random streams from the same key.
+    """
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    use = pallas_available() if use_pallas is None else (
+        bool(use_pallas) and pallas_available()
+    )
+    if use and K.dropout_supported(x.shape):
+        import jax.numpy as jnp
+
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(rng, (1,), jnp.uint32), jnp.int32
+        )
+        return _dropout_pallas(x, seed, float(rate))
+    return P.dropout(x, rate, rng, train=train)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm + SiLU + dropout (the resblock's second chain)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gn_silu_dropout_pallas(x, scale, bias, seed, rate: float, num_groups: int):
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    return K.gn_silu_dropout(
+        x, scale, bias, seed, rate, num_groups=num_groups
+    )
+
+
+def _gsd_fwd(x, scale, bias, seed, rate, num_groups):
+    out = _gn_silu_dropout_pallas(x, scale, bias, seed, rate, num_groups)
+    return out, (x, scale, bias, seed)
+
+
+def _gsd_bwd(rate, num_groups, res, g):
+    from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+    x, scale, bias, seed = res
+    # the mask is regenerated from the seed (never stored), then the
+    # masked cotangent flows through the XLA gn_silu VJP
+    gm = K.dropout_mask_apply(g, seed, rate)
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_silu_xla(x_, s_, b_, num_groups), x, scale, bias
+    )
+    dx, ds, db = vjp(gm)
+    return dx, ds, db, None
+
+
+_gn_silu_dropout_pallas.defvjp(_gsd_fwd, _gsd_bwd)
+
+
+def gn_silu_dropout(
+    x: Array,
+    p: dict,
+    rate: float,
+    rng: Optional[Array],
+    *,
+    train: bool,
+    num_groups: int = 8,
+    use_pallas: bool = False,
+) -> Array:
+    """gn -> silu -> dropout as one fused pass when the kernel applies.
+
+    The fused kernel is gated on its own merits (auto-on on TPU when the
+    per-image slab fits VMEM), independent of the forward-only
+    gn_silu/attention kernels which lose to XLA and stay opt-in.
+    """
+    if not train or rate <= 0.0 or rng is None:
+        return gn_silu(x, p, num_groups=num_groups, use_pallas=use_pallas)
+    slab_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4
+    if pallas_available() and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES:
+        import jax.numpy as jnp
+
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(rng, (1,), jnp.uint32), jnp.int32
+        )
+        return _gn_silu_dropout_pallas(
+            x, p["scale"], p["bias"], seed, float(rate), num_groups
+        )
+    h = gn_silu(x, p, num_groups=num_groups, use_pallas=use_pallas)
+    return P.dropout(h, rate, rng, train=train)

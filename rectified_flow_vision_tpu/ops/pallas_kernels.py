@@ -232,3 +232,182 @@ def attention_block(
         p["proj"]["b"],
     )
     return out.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Hardware-PRNG dropout
+# ---------------------------------------------------------------------------
+#
+# XLA dropout = threefry bit generation + mask select, and the mask select
+# sits between gn_silu and the following conv, breaking their fusion; the
+# backward pass additionally re-reads the stored mask. This kernel uses the
+# TPU's on-core PRNG (pltpu.prng_random_bits — measured: free next to the
+# HBM stream, a copy-only kernel times identically), is seeded per grid
+# block, and is DETERMINISTIC in (seed, shape, rate): the backward pass
+# regenerates the identical mask from the saved int32 seed instead of
+# storing a [B,H,W,C] mask tensor (ops/fused.py wires the custom_vjp).
+
+_DROPOUT_LANES = 1024
+
+
+def _dropout_block_rows(total: int) -> int:
+    """Largest supported block height for a flat [total/1024, 1024] view."""
+    if total % _DROPOUT_LANES:
+        return 0
+    rows = total // _DROPOUT_LANES
+    for br in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if rows % br == 0:
+            return br
+    return 0
+
+
+def dropout_supported(shape) -> bool:
+    import numpy as _np
+
+    return _dropout_block_rows(int(_np.prod(shape))) > 0
+
+
+def dropout(x: Array, seed: Array, rate: float) -> Array:
+    """Dropout with hardware PRNG. seed: [1] int32; rate: static in (0,1)."""
+    import numpy as _np
+
+    keep = 1.0 - float(rate)
+    thresh = _np.uint32(min(int(keep * 2**32), 2**32 - 1))
+    inv_keep = _np.float32(1.0 / keep)
+
+    def kernel(seed_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i * 1000003)
+        bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(x_ref.shape), jnp.uint32
+        )
+        keep_mask = bits < jnp.uint32(thresh)
+        o_ref[...] = jnp.where(
+            keep_mask, x_ref[...].astype(jnp.float32) * inv_keep, 0.0
+        ).astype(o_ref.dtype)
+
+    total = x.size
+    block_rows = _dropout_block_rows(total)
+    if block_rows == 0:
+        raise ValueError(f"dropout kernel unsupported for shape {x.shape}")
+    rows = total // _DROPOUT_LANES
+    x2 = x.reshape(rows, _DROPOUT_LANES)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, _DROPOUT_LANES), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, _DROPOUT_LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, _DROPOUT_LANES), x.dtype),
+        interpret=_INTERPRET,
+    )(seed, x2)
+    return out.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm + SiLU + hardware-PRNG dropout
+# ---------------------------------------------------------------------------
+#
+# The resblock's second chain is gn -> silu -> dropout -> conv
+# (reference: models/unet.py:55-64 + nn.Dropout). A standalone dropout
+# kernel cannot win: the pallas_call boundary forces the gn_silu output
+# through HBM. Fusing the mask INTO the gn_silu kernel makes the whole
+# chain one HBM read + one write; bits come from the on-core PRNG.
+# Determinism contract: bits depend only on (seed, image index, shape), so
+# ``dropout_mask_apply`` regenerates the identical mask for the VJP.
+
+
+def _gn_silu_dropout_kernel(
+    seed_ref, x_ref, scale_ref, bias_ref, o_ref,
+    *, num_groups: int, eps: float, thresh: int, inv_keep: float,
+):
+    x = x_ref[0].astype(jnp.float32)  # (N, C)
+    n, c = x.shape
+    mean_c, inv_c = _group_stats(x, num_groups, eps)
+    scale = scale_ref[:].astype(jnp.float32).reshape(1, c)
+    bias = bias_ref[:].astype(jnp.float32).reshape(1, c)
+    y = (x - mean_c) * inv_c * scale + bias
+    act = y * jax.nn.sigmoid(y)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(act.shape), jnp.uint32
+    )
+    keep = bits < jnp.uint32(thresh)
+    o_ref[0] = jnp.where(keep, act * jnp.float32(inv_keep), 0.0).astype(
+        o_ref.dtype
+    )
+
+
+def _dropout_mask_kernel(seed_ref, g_ref, o_ref, *, thresh: int, inv_keep: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(g_ref[0].shape), jnp.uint32
+    )
+    keep = bits < jnp.uint32(thresh)
+    o_ref[0] = jnp.where(
+        keep, g_ref[0].astype(jnp.float32) * jnp.float32(inv_keep), 0.0
+    ).astype(o_ref.dtype)
+
+
+def _rate_consts(rate: float):
+    import numpy as _np
+
+    keep = 1.0 - float(rate)
+    return (
+        int(_np.uint32(min(int(keep * 2**32), 2**32 - 1))),
+        float(1.0 / keep),
+    )
+
+
+def gn_silu_dropout(
+    x: Array, scale: Array, bias: Array, seed: Array, rate: float,
+    *, num_groups: int = 8, eps: float = 1e-5,
+) -> Array:
+    """GroupNorm + SiLU + dropout in one pass; grid step = one image."""
+    b, h, w, c = x.shape
+    n = h * w
+    thresh, inv_keep = _rate_consts(rate)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_silu_dropout_kernel,
+            num_groups=num_groups, eps=eps, thresh=thresh, inv_keep=inv_keep,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_INTERPRET,
+    )(seed, x.reshape(b, n, c), scale, bias)
+    return out.reshape(b, h, w, c)
+
+
+def dropout_mask_apply(g: Array, seed: Array, rate: float) -> Array:
+    """Apply the gn_silu_dropout mask (same seed/shape => same bits) to g."""
+    b, h, w, c = g.shape
+    n = h * w
+    thresh, inv_keep = _rate_consts(rate)
+    out = pl.pallas_call(
+        functools.partial(
+            _dropout_mask_kernel, thresh=thresh, inv_keep=inv_keep
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), g.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_INTERPRET,
+    )(seed, g.reshape(b, n, c))
+    return out.reshape(b, h, w, c)

@@ -70,9 +70,26 @@ class TestFIDIntegration:
         assert same < 1e-3
         assert diff > same
 
-    def test_nan_without_weights(self):
+    def test_synthnet_fallback_or_nan(self, monkeypatch):
+        """Inception weights -> SynthNet stand-in -> NaN (ref contract)."""
+        from rectified_flow_vision_tpu.utils import synthnet
         from rectified_flow_vision_tpu.utils.metrics import MetricsCalculator
 
-        calc = MetricsCalculator()
         a = np.zeros((2, 3, 32, 32), np.float32)
-        assert np.isnan(calc.compute_fid_inception(a, a))
+        if synthnet.DEFAULT_WEIGHTS_PATH.exists():
+            assert np.isfinite(MetricsCalculator().compute_fid_inception(a, a))
+
+        def _raise():
+            raise FileNotFoundError("no weights")
+
+        from rectified_flow_vision_tpu.utils import inception_jax
+
+        monkeypatch.setattr(
+            inception_jax.InceptionV3Features,
+            "load_default",
+            staticmethod(_raise),
+        )
+        monkeypatch.setattr(
+            synthnet.SynthNetPerceptual, "load_default", staticmethod(_raise)
+        )
+        assert np.isnan(MetricsCalculator().compute_fid_inception(a, a))

@@ -76,9 +76,29 @@ class TestDeepFID:
         assert same < 1e-3
         assert diff > same
 
-    def test_fid_deep_nan_without_weights(self):
+    def test_fid_deep_synthnet_fallback_or_nan(self, monkeypatch):
+        """Preference chain: LPIPS weights -> SynthNet -> NaN.
+
+        With weights/synthnet.npz committed, compute_fid_deep produces a
+        real number; with EVERY backbone unavailable it keeps the
+        reference's NaN contract (reference: utils/metrics.py:33-36).
+        """
+        from rectified_flow_vision_tpu.utils import synthnet
         from rectified_flow_vision_tpu.utils.metrics import MetricsCalculator
 
-        calc = MetricsCalculator()
         a = np.zeros((4, 3, 64, 64), np.float32)
-        assert np.isnan(calc.compute_fid_deep(a, a))
+        if synthnet.DEFAULT_WEIGHTS_PATH.exists():
+            assert np.isfinite(MetricsCalculator().compute_fid_deep(a, a))
+
+        def _raise():
+            raise FileNotFoundError("no weights")
+
+        from rectified_flow_vision_tpu.utils import lpips_jax
+
+        monkeypatch.setattr(
+            lpips_jax.LPIPS, "load_default", staticmethod(_raise)
+        )
+        monkeypatch.setattr(
+            synthnet.SynthNetPerceptual, "load_default", staticmethod(_raise)
+        )
+        assert np.isnan(MetricsCalculator().compute_fid_deep(a, a))

@@ -107,3 +107,91 @@ class TestFusedDispatch:
 
         g = jax.grad(loss)(x, p)
         assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_random_bits needs real TPU hardware (the CPU "
+    "interpreter stubs it); exercised on TPU by tools/bench_train.py",
+)
+class TestDropoutKernels:
+    """Hardware-PRNG dropout + fused gn_silu_dropout (TPU only)."""
+
+    def test_dropout_stats_and_determinism(self):
+        x = jnp.ones((8, 16, 16, 32), jnp.float32)  # 65536 elems
+        seed = jnp.array([42], jnp.int32)
+        y1 = K.dropout(x, seed, 0.25)
+        y2 = K.dropout(x, seed, 0.25)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        zero_frac = float(jnp.mean((y1 == 0).astype(jnp.float32)))
+        assert abs(zero_frac - 0.25) < 0.02
+        # kept elements are scaled by 1/keep
+        kept = np.asarray(y1)[np.asarray(y1) != 0]
+        np.testing.assert_allclose(kept, 1.0 / 0.75, rtol=1e-6)
+        # different seed -> different mask
+        y3 = K.dropout(x, jnp.array([43], jnp.int32), 0.25)
+        assert not np.array_equal(np.asarray(y1), np.asarray(y3))
+
+    def test_gn_silu_dropout_matches_masked_gn_silu(self):
+        b, h, w, c = 3, 8, 8, 64
+        x = jax.random.normal(jax.random.key(0), (b, h, w, c)) * 2 + 0.3
+        scale = jax.random.normal(jax.random.key(1), (c,)) * 0.2 + 1.0
+        bias = jax.random.normal(jax.random.key(2), (c,)) * 0.2
+        seed = jnp.array([7], jnp.int32)
+        rate = 0.2
+        out = np.asarray(
+            K.gn_silu_dropout(x, scale, bias, seed, rate, num_groups=8)
+        )
+        ref = np.asarray(
+            P.silu(P.group_norm(x, {"scale": scale, "bias": bias}, num_groups=8))
+        )
+        mask = out != 0
+        # kept entries equal gn_silu / keep; dropped fraction ~ rate
+        np.testing.assert_allclose(
+            out[mask], ref[mask] / (1 - rate), rtol=2e-5, atol=2e-5
+        )
+        assert abs((~mask).mean() - rate) < 0.03
+        # the standalone mask-apply regenerates the identical mask
+        g = jnp.ones_like(x)
+        gm = np.asarray(K.dropout_mask_apply(g, seed, rate))
+        np.testing.assert_array_equal(gm != 0, mask)
+
+    def test_gn_silu_dropout_grads(self):
+        """custom_vjp grads == grads of the equivalent masked XLA chain."""
+        from rectified_flow_vision_tpu.ops import fused as F
+
+        b, h, w, c = 2, 8, 8, 32
+        x = jax.random.normal(jax.random.key(3), (b, h, w, c))
+        p = {"scale": jnp.ones((c,)) * 1.1, "bias": jnp.zeros((c,)) + 0.05}
+        seed = jnp.array([11], jnp.int32)
+        rate = 0.3
+
+        def fused_loss(x_, s_, b_):
+            out = F._gn_silu_dropout_pallas(x_, s_, b_, seed, rate, 8)
+            return jnp.sum(out * out)
+
+        out = F._gn_silu_dropout_pallas(x, p["scale"], p["bias"], seed, rate, 8)
+        mask = jnp.asarray(np.asarray(out) != 0, jnp.float32)
+
+        def ref_loss(x_, s_, b_):
+            ref = P.silu(P.group_norm(x_, {"scale": s_, "bias": b_}, num_groups=8))
+            masked = ref * mask / (1 - rate)
+            return jnp.sum(masked * masked)
+
+        g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(x, p["scale"], p["bias"])
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x, p["scale"], p["bias"])
+        for a, b_ in zip(g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+            )
+
+    def test_eval_mode_is_plain_gn_silu(self):
+        from rectified_flow_vision_tpu.ops import fused as F
+
+        x = jax.random.normal(jax.random.key(4), (2, 8, 8, 32))
+        p = {"scale": jnp.ones((32,)), "bias": jnp.zeros((32,))}
+        out = F.gn_silu_dropout(x, p, 0.5, None, train=False, num_groups=8)
+        ref = P.silu(P.group_norm(x, p, num_groups=8))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
