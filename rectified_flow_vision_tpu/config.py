@@ -48,6 +48,12 @@ class ModelConfig:
     sample_dtype: str = "bfloat16"  # inference/sampling compute dtype
     use_pallas: Optional[bool] = None  # None => auto (TPU backend only)
     remat: bool = False  # rematerialize transformer blocks (long sequences)
+    # latent-diffusion pipeline (the DiT-256 target): train/sample the flow
+    # in a ConvVAE's latent space instead of pixels
+    latent: bool = False
+    latent_channels: int = 4
+    latent_downsample: int = 4  # spatial factor; latent size = image_size / this
+    vae_epochs: int = 40  # auto-training epochs when the VAE ckpt is absent
 
 
 @dataclass

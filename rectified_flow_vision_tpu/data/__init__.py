@@ -1,6 +1,7 @@
 """Data: image dataset, host batching, layout conversion."""
 
 from rectified_flow_vision_tpu.data.dataset import (  # noqa: F401
+    ArrayDataset,
     ImageDataset,
     as_nchw,
     as_nhwc,

@@ -134,6 +134,35 @@ class ImageDataset:
         return n // batch_size if drop_last else -(-n // batch_size)
 
 
+class ArrayDataset:
+    """In-memory NHWC array corpus with the dataset protocol.
+
+    Wraps an arbitrary [N, H, W, C] array (e.g. VAE latents for the
+    latent-diffusion pipeline) so it can drive the same training paths as
+    ``ImageDataset`` — including the device-resident epoch scan, which
+    only needs ``.images``.
+    """
+
+    def __init__(self, images: np.ndarray):
+        self.images = np.asarray(images, dtype=np.float32)
+        if self.images.ndim != 4:
+            raise ValueError("ArrayDataset expects [N, H, W, C]")
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return self.images[idx]
+
+    # same per-epoch semantics as ImageDataset
+    batches = ImageDataset.batches
+    num_batches = ImageDataset.num_batches
+
+    def native_loader(self, batch_size: int, **kwargs):
+        """Latents are float-valued; the uint8 C++ pipeline does not apply."""
+        return None
+
+
 def as_nchw(x: np.ndarray) -> np.ndarray:
     """NHWC -> NCHW (user-facing boundary; the reference API is NCHW)."""
     return np.transpose(x, (0, 3, 1, 2))

@@ -152,14 +152,18 @@ def benchmark_throughput(
     return results
 
 
-def benchmark_quality(model, reference_images, num_steps: int):
+def benchmark_quality(model, reference_images, num_steps: int, noise_shape=None):
     """Quality vs reference images: SSIM + LPIPS (+ raw-pixel FID).
 
     The reference defines this but never calls it (benchmark.py:86-118);
     here it is part of the main run. ``reference_images`` is NHWC in [-1,1].
+    ``noise_shape`` overrides the sampling-noise shape (latent pipelines
+    draw latent-shaped noise but emit pixel images).
     """
     calc = MetricsCalculator()
-    noise = jax.random.normal(jax.random.key(7), reference_images.shape)
+    noise = jax.random.normal(
+        jax.random.key(7), noise_shape or reference_images.shape
+    )
     generated = np.asarray(
         jax.device_get(
             model.sample(noise=noise, num_steps=num_steps, data_format="NHWC")
@@ -233,6 +237,21 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         "Rectified",
     )
 
+    # latent pipeline: the flow models run at latent resolution; grids and
+    # quality go through the VAE decoder (pixel outputs)
+    base_out, rect_out = base_model, rect_model
+    latent = getattr(cfg.model, "latent", False)
+    if latent:
+        from rectified_flow_vision_tpu.models.autoencoder import (
+            ConvVAE,
+            LatentFlowPipeline,
+        )
+
+        vae, vae_params = ConvVAE.load(str(checkpoint_dir / "vae.npz"))
+        base_out = LatentFlowPipeline(base_model, vae, vae_params)
+        rect_out = LatentFlowPipeline(rect_model, vae, vae_params)
+        image_size = base_model.image_size  # sweep at latent resolution
+
     # ---- speed ------------------------------------------------------------
     log.info("=" * 60)
     log.info("SPEED BENCHMARK")
@@ -281,14 +300,15 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
 
     few_steps = [1, 2, 4, 8]
     noise_test = jax.random.normal(
-        jax.random.key(3), (8, image_size, image_size, 3)
+        jax.random.key(3),
+        (8, image_size, image_size, base_model.in_channels),
     )
     for steps in few_steps:
         log.info("Generating with %d step(s)...", steps)
-        base_samples = base_model.sample(
+        base_samples = base_out.sample(
             noise=noise_test, num_steps=steps, data_format="NHWC"
         )
-        rect_samples = rect_model.sample(
+        rect_samples = rect_out.sample(
             noise=noise_test, num_steps=steps, data_format="NHWC"
         )
         plot_generated_samples(
@@ -313,9 +333,18 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         ds = ImageDataset(str(data_dir), image_size) if data_dir.exists() else None
         if ds is not None and len(ds) >= 8:
             ref_imgs = ds.images[: min(len(ds), 32)]
+            q_noise_shape = (
+                (ref_imgs.shape[0], image_size, image_size, base_model.in_channels)
+                if latent
+                else None
+            )
             for steps in few_steps:
-                q_base = benchmark_quality(base_model, ref_imgs, steps)
-                q_rect = benchmark_quality(rect_model, ref_imgs, steps)
+                q_base = benchmark_quality(
+                    base_out, ref_imgs, steps, noise_shape=q_noise_shape
+                )
+                q_rect = benchmark_quality(
+                    rect_out, ref_imgs, steps, noise_shape=q_noise_shape
+                )
                 quality_rows.append(
                     {"num_steps": steps, "model": "base", **q_base}
                 )
@@ -329,7 +358,9 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
                 {
                     "num_steps": many,
                     "model": "base",
-                    **benchmark_quality(base_model, ref_imgs, many),
+                    **benchmark_quality(
+                        base_out, ref_imgs, many, noise_shape=q_noise_shape
+                    ),
                 }
             )
             log.info(
@@ -415,13 +446,18 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         )
 
     # trajectory strips (dead in the reference, visualization.py:161-207)
-    traj_noise = jax.random.normal(jax.random.key(11), (1, image_size, image_size, 3))
+    traj_noise = jax.random.normal(
+        jax.random.key(11), (1, image_size, image_size, base_model.in_channels)
+    )
     base_traj = base_model.sample_with_trajectory(
         traj_noise, num_steps=20, save_every=5, data_format="NHWC"
     )
     rect_traj = rect_model.sample_with_trajectory(
         traj_noise, num_steps=20, save_every=5, data_format="NHWC"
     )
+    if latent:  # decode each latent frame for the pixel strips
+        base_traj = [base_out._decode(jnp.asarray(s)) for s in base_traj]
+        rect_traj = [rect_out._decode(jnp.asarray(s)) for s in rect_traj]
     from rectified_flow_vision_tpu.utils import plot_trajectory_comparison
 
     plot_trajectory_comparison(

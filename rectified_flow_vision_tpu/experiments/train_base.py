@@ -24,17 +24,27 @@ log = get_logger("flow_vision.train_base")
 
 
 def build_model(cfg: Config, cls=BaseFlowModel):
-    """Construct the configured model (unet or dit backbone)."""
+    """Construct the configured model (unet or dit backbone).
+
+    With ``model.latent`` the flow model lives in the ConvVAE's latent
+    space: image_size and channels are the LATENT dimensions.
+    """
+    latent = getattr(cfg.model, "latent", False)
+    image_size = cfg.data.image_size
+    in_channels = 3
+    if latent:
+        image_size = cfg.data.image_size // cfg.model.latent_downsample
+        in_channels = cfg.model.latent_channels
     kwargs = dict(
-        image_size=cfg.data.image_size,
+        image_size=image_size,
+        in_channels=in_channels,
         compute_dtype=cfg.model.compute_dtype,
         sample_dtype=cfg.model.sample_dtype,
         use_pallas=cfg.model.use_pallas,
         backbone=cfg.model.backbone,
     )
     if cfg.model.backbone == "dit":
-        # pixel-space DiT unless a VAE is wired
-        kwargs.update(in_channels=3, remat=cfg.model.remat)
+        kwargs.update(remat=cfg.model.remat)
     else:
         kwargs.update(
             model_channels=cfg.model.channels,
@@ -44,6 +54,50 @@ def build_model(cfg: Config, cls=BaseFlowModel):
             dropout=cfg.model.dropout,
         )
     return cls(**kwargs)
+
+
+def ensure_vae(cfg: Config, dataset, checkpoint_dir):
+    """Load the config's ConvVAE, training + saving it first if absent."""
+    from rectified_flow_vision_tpu.models.autoencoder import ConvVAE, train_vae
+
+    vae_path = checkpoint_dir / "vae.npz"
+    if vae_path.exists():
+        return ConvVAE.load(str(vae_path))
+    log.info(
+        "Training the ConvVAE (%dx -> %dx%d latents, %d epochs)...",
+        cfg.model.latent_downsample,
+        cfg.data.image_size // cfg.model.latent_downsample,
+        cfg.model.latent_channels,
+        cfg.model.vae_epochs,
+    )
+    vae = ConvVAE(
+        image_size=cfg.data.image_size,
+        latent_channels=cfg.model.latent_channels,
+        downsample=cfg.model.latent_downsample,
+    )
+    params, mse = train_vae(
+        vae, dataset.images, epochs=cfg.model.vae_epochs
+    )
+    vae.save(str(vae_path), params)
+    log.info("VAE trained: recon MSE %.5f -> %s", mse, vae_path)
+    return vae, params
+
+
+def encode_dataset(vae, vae_params, images, batch: int = 64):
+    """Encode an NHWC pixel corpus into an ArrayDataset of latents."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectified_flow_vision_tpu.data import ArrayDataset
+
+    enc = jax.jit(lambda x: vae.encode(vae_params, x))
+    lat = np.concatenate(
+        [
+            np.asarray(enc(jnp.asarray(images[i : i + batch])))
+            for i in range(0, images.shape[0], batch)
+        ]
+    )
+    return ArrayDataset(lat)
 
 
 def default_mesh(cfg: Config):
@@ -80,6 +134,17 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
 
     dataset = ImageDataset(str(data_dir), cfg.data.image_size)
 
+    vae = vae_params = None
+    if getattr(cfg.model, "latent", False):
+        vae, vae_params = ensure_vae(cfg, dataset, checkpoint_dir)
+        log.info(
+            "Latent pipeline: %dx%dx%d -> %dx%dx%d (scaling %.3f)",
+            cfg.data.image_size, cfg.data.image_size, 3,
+            vae.latent_size, vae.latent_size, vae.latent_channels,
+            vae.scaling_factor,
+        )
+        dataset = encode_dataset(vae, vae_params, dataset.images)
+
     model = build_model(cfg)
     log.info("Model created with %s parameters", f"{model.num_parameters():,}")
 
@@ -111,7 +176,15 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
     log.info("Model saved to: %s", checkpoint_dir / "base_flow_final.npz")
 
     log.info("Generating test samples...")
-    samples = model.sample(batch_size=4, num_steps=50)
+    if vae is not None:
+        from rectified_flow_vision_tpu.models.autoencoder import (
+            LatentFlowPipeline,
+        )
+
+        pipeline = LatentFlowPipeline(model, vae, vae_params)
+        samples = pipeline.sample(batch_size=4, num_steps=50)
+    else:
+        samples = model.sample(batch_size=4, num_steps=50)
     log.info("Generated samples: %s", tuple(samples.shape))
     return model
 

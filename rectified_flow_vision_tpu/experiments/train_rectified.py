@@ -116,7 +116,9 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     key = jax.random.key(42)
     x0_test = np.asarray(
         jax.random.normal(
-            key, (4, cfg.data.image_size, cfg.data.image_size, 3)
+            key,
+            (4, base_model.image_size, base_model.image_size,
+             base_model.in_channels),  # latent-sized for latent configs
         )
     )
     x1_test = np.asarray(
