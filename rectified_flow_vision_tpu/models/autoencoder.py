@@ -234,8 +234,18 @@ def train_vae(
             print(f"[vae] epoch {epoch + 1}/{epochs} recon MSE {mse:.5f}", flush=True)
 
     # calibrate the latent scaling factor: latents ~ unit std for the flow
-    mu, _ = vae._encode_raw(params, jnp.asarray(images[: min(n, 256)]))
-    vae.scaling_factor = float(1.0 / (jnp.std(mu) + 1e-8))
+    # (batched: a single 256-image encode of 256x256 inputs OOMs on v5e)
+    enc = jax.jit(lambda x: vae._encode_raw(params, x)[0])
+    s = s2 = cnt = 0.0
+    for i in range(0, min(n, 256), batch_size):
+        mu = enc(jnp.asarray(images[i : i + batch_size]))
+        if mu.shape[0] < batch_size:
+            continue
+        s += float(jnp.sum(mu))
+        s2 += float(jnp.sum(mu * mu))
+        cnt += mu.size
+    var = max(s2 / cnt - (s / cnt) ** 2, 1e-12)
+    vae.scaling_factor = float(1.0 / (var**0.5 + 1e-8))
     return params, mse
 
 

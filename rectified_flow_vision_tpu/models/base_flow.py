@@ -679,6 +679,13 @@ def train_base_flow(
     """
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
+    if mesh is not None:
+        # GSPMD has no partitioning rule for pallas_call: the fused dropout
+        # kernels would force activation all-gathers on a sharded mesh
+        from rectified_flow_vision_tpu.ops import fused as _fused
+
+        _fused.set_pallas_dropout(False)
+
     # dataset protocol (ImageDataset, PackedCorpus, ...): per-epoch
     # reshuffled fixed-shape batches + a known epoch length
     is_dataset = hasattr(dataloader, "batches") and hasattr(

@@ -24,6 +24,7 @@ from rectified_flow_vision_tpu.ops import primitives as P
 Array = jax.Array
 
 _PALLAS_OK: Optional[bool] = None
+_PALLAS_DROPOUT = True
 
 
 def pallas_available() -> bool:
@@ -32,6 +33,22 @@ def pallas_available() -> bool:
     if _PALLAS_OK is None:
         _PALLAS_OK = jax.default_backend() == "tpu"
     return _PALLAS_OK
+
+
+def set_pallas_dropout(enabled: bool) -> None:
+    """Toggle the hardware-PRNG dropout kernels.
+
+    Training under a multi-chip mesh disables them (train_base_flow):
+    GSPMD has no partitioning rule for pallas_call, so sharded activations
+    would be all-gathered around the kernel — correct but slower than the
+    XLA path. Single-chip training keeps them on (measured win).
+    """
+    global _PALLAS_DROPOUT
+    _PALLAS_DROPOUT = bool(enabled)
+
+
+def pallas_dropout_enabled() -> bool:
+    return _PALLAS_DROPOUT
 
 
 def resolve_use_pallas(flag: Optional[bool]) -> bool:
@@ -187,7 +204,7 @@ def dropout(
     use = pallas_available() if use_pallas is None else (
         bool(use_pallas) and pallas_available()
     )
-    if use and K.dropout_supported(x.shape):
+    if use and _PALLAS_DROPOUT and K.dropout_supported(x.shape):
         import jax.numpy as jnp
 
         seed = jax.lax.bitcast_convert_type(
@@ -252,7 +269,11 @@ def gn_silu_dropout(
     if not train or rate <= 0.0 or rng is None:
         return gn_silu(x, p, num_groups=num_groups, use_pallas=use_pallas)
     slab_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4
-    if pallas_available() and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES:
+    if (
+        pallas_available()
+        and _PALLAS_DROPOUT
+        and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES
+    ):
         import jax.numpy as jnp
 
         seed = jax.lax.bitcast_convert_type(

@@ -120,8 +120,22 @@ _TP_RULES = [
     (re.compile(r".*time_mlp/lin1/w$"), P(None, MODEL_AXIS)),
     (re.compile(r".*time_mlp/lin1/b$"), P(MODEL_AXIS)),
     (re.compile(r".*time_mlp/lin2/w$"), P(MODEL_AXIS, None)),
-    # res-block time projections: shard the In (= 4C hidden) dim
-    (re.compile(r".*/time/w$"), P(MODEL_AXIS, None)),
+    # res-block convs, Megatron pattern (convs hold the bulk of UNet FLOPs
+    # and params): conv1 column-parallel (HWIO Out channel), the block's
+    # norm2 affine + additive time bias follow the sharded channels, conv2
+    # row-parallel (HWIO In channel) with the psum emitted by GSPMD. The
+    # 8 GroupNorm groups stay shard-local for model_axis in {2,4,8}.
+    (re.compile(r".*(?:_blocks/[^/]+|mid_block\d)/conv1/w$"),
+     P(None, None, None, MODEL_AXIS)),
+    (re.compile(r".*(?:_blocks/[^/]+|mid_block\d)/conv1/b$"), P(MODEL_AXIS)),
+    (re.compile(r".*(?:_blocks/[^/]+|mid_block\d)/norm2/(?:scale|bias)$"),
+     P(MODEL_AXIS)),
+    (re.compile(r".*(?:_blocks/[^/]+|mid_block\d)/conv2/w$"),
+     P(None, None, MODEL_AXIS, None)),
+    # res-block time projections: column-parallel so the bias aligns with
+    # conv1's sharded Out channels
+    (re.compile(r".*/time/w$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*/time/b$"), P(MODEL_AXIS)),
     # --- DiT (Megatron-style: column-parallel in, row-parallel out) --------
     (re.compile(r".*blocks/\d+/qkv/w$"), P(None, MODEL_AXIS)),
     (re.compile(r".*blocks/\d+/qkv/b$"), P(MODEL_AXIS)),
@@ -135,10 +149,12 @@ _TP_RULES = [
 def unet_param_spec(path: str, ndim: int) -> P:
     """PartitionSpec for one UNet parameter under tensor parallelism.
 
-    Conservative rule set: only matmul-shaped layers whose sharding GSPMD
-    resolves without cross-channel norm complications are sharded over
-    'model'; conv kernels stay replicated (they are small at these model
-    sizes — TP exists for the DiT family, where it shards every block).
+    Residual-block convs shard Megatron-style (conv1 column / conv2 row
+    over the HWIO channel dims) together with the norm2 affine and time
+    bias that act on the sharded channels; attention and the time MLP
+    shard as matmuls. Downsample/upsample/shortcut/head convs (one per
+    level, small) and norm1 stay replicated. DiT blocks shard
+    column/row per block.
     """
     for pattern, spec in _TP_RULES:
         if pattern.match(path):
