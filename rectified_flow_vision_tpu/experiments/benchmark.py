@@ -413,9 +413,16 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         speed_by_steps = {
             r["num_steps"]: r["images_per_second"] for r in rect_results
         }
+        rect_q_steps = {
+            r["num_steps"] for r in quality_rows if r["model"] == "rectified"
+        }
+        # only steps quality-measured for BOTH models (the base@many-step
+        # anchor row has no rectified counterpart)
         q_steps = [
             r["num_steps"] for r in quality_rows
-            if r["model"] == "base" and r["num_steps"] in speed_by_steps
+            if r["model"] == "base"
+            and r["num_steps"] in speed_by_steps
+            and r["num_steps"] in rect_q_steps
         ]
         quality_payload = {
             "base_model": [

@@ -100,6 +100,60 @@ class TestTrainBaseFlow:
         assert changed
 
 
+class TestDeviceEpochScan:
+    """The one-dispatch-per-epoch lax.scan path must produce the SAME
+    training trajectory as the per-step host loop (same RNG streams, same
+    batch permutations) — it is a perf lever, not a semantics change."""
+
+    def test_base_scan_matches_per_step(self):
+        from rectified_flow_vision_tpu.data import ArrayDataset
+
+        imgs = np.random.RandomState(0).randn(12, 8, 8, 3).astype(np.float32)
+        losses = {}
+        params = {}
+        for mode in (False, True):
+            m = _tiny(seed=3)
+            losses[mode] = train_base_flow(
+                m, ArrayDataset(imgs), epochs=3, lr=1e-3, batch_size=4,
+                progress=False, device_epoch=mode,
+            )
+            params[mode] = jax.tree_util.tree_map(np.asarray, m.params)
+        np.testing.assert_allclose(
+            losses[False], losses[True], rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params[False]),
+            jax.tree_util.tree_leaves(params[True]),
+        ):
+            # the scan and per-step executables reassociate float ops
+            # differently; identical trajectories up to ulp-level noise
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5)
+
+    def test_coupled_scan_matches_per_step(self):
+        rng = np.random.RandomState(1)
+        x0 = rng.randn(12, 3, 8, 8).astype(np.float32)
+        x1 = rng.randn(12, 3, 8, 8).astype(np.float32)
+        losses = {}
+        params = {}
+        for mode in (False, True):
+            m = RectifiedFlowModel.from_base_model(_tiny(seed=5))
+            losses[mode] = train_rectified_flow(
+                m, x0, x1, epochs=3, batch_size=4, lr=1e-3,
+                progress=False, device_epoch=mode,
+            )
+            params[mode] = jax.tree_util.tree_map(np.asarray, m.params)
+        np.testing.assert_allclose(
+            losses[False], losses[True], rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params[False]),
+            jax.tree_util.tree_leaves(params[True]),
+        ):
+            # the scan and per-step executables reassociate float ops
+            # differently; identical trajectories up to ulp-level noise
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5)
+
+
 class TestReflow:
     def test_pair_generation_shapes(self):
         m = _tiny()
