@@ -330,7 +330,14 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         data_dir = repo_root() / cfg.data.data_dir
         from rectified_flow_vision_tpu.data import ImageDataset
 
-        ds = ImageDataset(str(data_dir), image_size) if data_dir.exists() else None
+        # reference images at PIXEL resolution: in the latent pipeline
+        # `image_size` is the latent sweep resolution, but quality compares
+        # decoded pixels against the corpus
+        ds = (
+            ImageDataset(str(data_dir), cfg.data.image_size)
+            if data_dir.exists()
+            else None
+        )
         if ds is not None and len(ds) >= 8:
             ref_imgs = ds.images[: min(len(ds), 32)]
             q_noise_shape = (

@@ -195,6 +195,7 @@ def train_vae(
 
     params = vae.init(jax.random.key(seed))
     n = images.shape[0]
+    batch_size = min(batch_size, n)  # tiny corpora: never skip every batch
     steps = max(n // batch_size, 1)
     tx = optax.adamw(optax.cosine_decay_schedule(lr, epochs * steps))
     opt = tx.init(params)
