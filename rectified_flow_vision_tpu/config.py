@@ -112,6 +112,9 @@ class ParallelConfig:
 
     data_axis: int = -1  # -1 => all remaining devices
     model_axis: int = 1  # tensor-parallel degree
+    # FSDP (ZeRO-style): store params + Adam moments sharded over the
+    # 'data' axis; GSPMD inserts the all-gathers / grad reduce-scatters
+    fsdp: bool = False
 
 
 @dataclass

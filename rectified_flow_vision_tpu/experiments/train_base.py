@@ -168,6 +168,7 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
         ),
         use_native_loader=cfg.training_base.use_native_loader,
         ema_decay=cfg.training_base.ema_decay or None,
+        fsdp=cfg.parallel.fsdp,
     )
 
     np.save(str(checkpoint_dir / "base_flow_losses.npy"), losses)

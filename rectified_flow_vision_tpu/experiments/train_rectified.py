@@ -86,6 +86,7 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
             if cfg.training_rectified.resume
             else None
         ),
+        fsdp=cfg.parallel.fsdp,
     )
 
     np.save(str(checkpoint_dir / "rectified_flow_k1_losses.npy"), losses)

@@ -664,6 +664,7 @@ def train_base_flow(
     use_native_loader: bool = False,
     ema_decay: Optional[float] = None,
     device_epoch: Optional[bool] = None,
+    fsdp: bool = False,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
@@ -748,10 +749,24 @@ def train_base_flow(
     )
     ema = None  # initialized after a possible restore (must not be fresh-init)
 
-    # Data-parallel placement: batch sharded over 'data', params replicated.
+    # Placement: batch sharded over 'data'. Params/opt-state replicated for
+    # plain DP(+TP), or fully sharded over 'data' under FSDP (ZeRO-style;
+    # GSPMD emits the per-layer all-gathers and grad reduce-scatters).
+    def _place_params(p):
+        if fsdp:
+            return mesh_lib.shard_params_fsdp(mesh, p)
+        return mesh_lib.shard_params(mesh, p)
+
+    def _place_opt(o, p):
+        if fsdp:
+            return mesh_lib.shard_opt_state(
+                mesh, o, p, mesh_lib.make_fsdp_param_shardings(mesh, p)
+            )
+        return jax.device_put(o, mesh_lib.replicated(mesh))
+
     if mesh is not None:
-        params = mesh_lib.shard_params(mesh, params)
-        opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+        params = _place_params(params)
+        opt_state = _place_opt(opt_state, params)
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
@@ -770,10 +785,10 @@ def train_base_flow(
             if ema is not None:
                 ema = jax.tree_util.tree_map(jnp.asarray, ema)
             if mesh is not None:
-                params = mesh_lib.shard_params(mesh, params)
-                opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+                params = _place_params(params)
+                opt_state = _place_opt(opt_state, params)
                 if ema is not None:
-                    ema = mesh_lib.shard_params(mesh, ema)
+                    ema = _place_params(ema)
             log.info("Resumed training from epoch %d (%s)", start_epoch, resume_dir)
 
     if not use_ema:
@@ -783,7 +798,7 @@ def train_base_flow(
         # CURRENT (possibly restored) params, never a fresh init
         ema = jax.tree_util.tree_map(jnp.array, params)
         if mesh is not None:
-            ema = mesh_lib.shard_params(mesh, ema)
+            ema = _place_params(ema)
 
     for epoch in range(start_epoch, epochs):
         epoch_key = jax.random.fold_in(root_key, epoch)

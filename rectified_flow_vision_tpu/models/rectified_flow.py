@@ -200,6 +200,7 @@ def train_rectified_flow(
     progress: bool = True,
     resume_dir: Optional[str] = None,
     device_epoch: Optional[bool] = None,
+    fsdp: bool = False,
 ) -> List[float]:
     """Train the student on pre-generated couplings (reference:
     rectified_flow.py:177-255): same AdamW/cosine/clip recipe as the base
@@ -235,9 +236,20 @@ def train_rectified_flow(
         corpus_dev = (jnp.asarray(x0_data), jnp.asarray(x1_data))
         train_epoch = make_train_epoch(model, tx, coupled=True)
 
+    def _place(p, o):
+        """DP(+TP) replicated placement, or FSDP full sharding over 'data'."""
+        if fsdp:
+            p = mesh_lib.shard_params_fsdp(mesh, p)
+            o = mesh_lib.shard_opt_state(
+                mesh, o, p, mesh_lib.make_fsdp_param_shardings(mesh, p)
+            )
+        else:
+            p = mesh_lib.shard_params(mesh, p)
+            o = jax.device_put(o, mesh_lib.replicated(mesh))
+        return p, o
+
     if mesh is not None:
-        params = mesh_lib.shard_params(mesh, params)
-        opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+        params, opt_state = _place(params, opt_state)
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
@@ -253,8 +265,7 @@ def train_rectified_flow(
             params = jax.tree_util.tree_map(jnp.asarray, params)
             opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
             if mesh is not None:
-                params = mesh_lib.shard_params(mesh, params)
-                opt_state = jax.device_put(opt_state, mesh_lib.replicated(mesh))
+                params, opt_state = _place(params, opt_state)
             log.info("Resumed reflow training from epoch %d", start_epoch)
 
     import time as _time

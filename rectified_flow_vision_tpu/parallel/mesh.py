@@ -186,3 +186,81 @@ def shard_params(mesh: Mesh, params):
         for path, arr in flat.items()
     }
     return unflatten_tree(placed)
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-style) parameter + optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+#
+# The scaling-book "fully sharded" recipe, GSPMD-style: every parameter
+# (and its Adam moments) is stored sharded over the 'data' axis — each
+# chip holds 1/dp of the weights and optimizer state — and the train step
+# is annotated with those shardings. XLA's partitioner then emits the
+# all-gather before each layer's use and the reduce-scatter on the
+# gradients; the framework never writes a collective. Composes with the
+# tensor-parallel rules above (a param already sharded over 'model' on one
+# dim additionally shards over 'data' on another).
+
+
+def fsdp_spec(shape, dp: int, base: Optional[P] = None) -> P:
+    """Add DATA_AXIS sharding on the largest free dim divisible by ``dp``.
+
+    ``base`` is an existing (e.g. tensor-parallel) PartitionSpec whose
+    axes are preserved; scalars and shapes with no divisible free dim stay
+    as-is (replicated over 'data').
+    """
+    parts = list(base) if base is not None else []
+    parts += [None] * (len(shape) - len(parts))
+    best = None
+    for i, d in enumerate(shape):
+        if parts[i] is not None or d % dp != 0 or d < dp:
+            continue
+        if best is None or shape[i] > shape[best]:
+            best = i
+    if best is not None:
+        parts[best] = DATA_AXIS
+    return P(*parts)
+
+
+def make_fsdp_param_shardings(mesh: Mesh, params, *, tp: bool = True):
+    """Sharding pytree congruent to ``params``: FSDP over 'data' composed
+    with the TP rules over 'model' (when ``tp``)."""
+    from rectified_flow_vision_tpu.utils.checkpoint import flatten_tree, unflatten_tree
+
+    dp = mesh.shape[DATA_AXIS]
+    flat = flatten_tree(params)
+    specs = {}
+    for path, arr in flat.items():
+        base = unet_param_spec(path, arr.ndim) if tp else P()
+        specs[path] = NamedSharding(mesh, fsdp_spec(arr.shape, dp, base))
+    return unflatten_tree(specs)
+
+
+def shard_params_fsdp(mesh: Mesh, params, *, tp: bool = True):
+    """Place params fully sharded over 'data' (+ TP over 'model')."""
+    shardings = make_fsdp_param_shardings(mesh, params, tp=tp)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, params, param_shardings):
+    """Place an optax state tree: param-structured subtrees (Adam mu/nu)
+    inherit the param shardings, everything else (step counts, empty
+    states) replicates."""
+    pdef = jax.tree_util.tree_structure(params)
+    rep = replicated(mesh)
+
+    def place(node):
+        try:
+            if jax.tree_util.tree_structure(node) == pdef:
+                return jax.tree_util.tree_map(
+                    jax.device_put, node, param_shardings
+                )
+        except Exception:  # noqa: BLE001 - non-pytree nodes fall through
+            pass
+        if hasattr(node, "_fields"):  # optax NamedTuple state
+            return type(node)(*(place(child) for child in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(place(child) for child in node)
+        return jax.device_put(node, rep)
+
+    return place(opt_state)

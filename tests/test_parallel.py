@@ -138,6 +138,106 @@ class TestTensorParallel:
         assert spec == jax.sharding.PartitionSpec(None, "model")
 
 
+class TestFSDP:
+    """ZeRO-style full sharding of params + Adam moments over 'data'."""
+
+    def test_fsdp_train_step_matches_single_device(self, eight_devices):
+        batch = np.random.RandomState(4).randn(8, 8, 8, 3).astype(np.float32)
+        rng = jax.random.key(13)
+
+        m1 = _tiny(seed=9)
+        tx = make_optimizer(1e-3, epochs=1, steps_per_epoch=1)
+        step = make_train_step(m1, tx, coupled=False)
+        p_ref, _, loss_ref = step(
+            m1.params, tx.init(m1.params), jnp.asarray(batch), rng
+        )
+
+        m2 = _tiny(seed=9)
+        mesh = mesh_lib.create_mesh()  # dp8
+        params = mesh_lib.shard_params_fsdp(mesh, m2.params)
+        opt_state = mesh_lib.shard_opt_state(
+            mesh,
+            tx.init(m2.params),
+            m2.params,
+            mesh_lib.make_fsdp_param_shardings(mesh, m2.params),
+        )
+        step2 = make_train_step(m2, tx, coupled=False)
+        p_f, opt_f, loss_f = step2(
+            params, opt_state, mesh_lib.shard_batch(mesh, jnp.asarray(batch)), rng
+        )
+
+        assert float(loss_ref) == pytest.approx(float(loss_f), rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_f)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4
+            )
+
+    def test_fsdp_actually_shards_storage(self, eight_devices):
+        """Each chip must hold ~1/dp of every shardable param and Adam
+        moment — the point of FSDP is memory, not math."""
+        m = _tiny()
+        mesh = mesh_lib.create_mesh()  # dp8
+        params = mesh_lib.shard_params_fsdp(mesh, m.params)
+
+        conv_w = params["input_conv"]["w"]  # (3,3,3,16): 16 % 8 == 0
+        shard = conv_w.addressable_shards[0].data
+        assert shard.shape[-1] == conv_w.shape[-1] // 8
+
+        tx = make_optimizer(1e-3, epochs=1, steps_per_epoch=1)
+        opt = mesh_lib.shard_opt_state(
+            mesh,
+            tx.init(m.params),
+            m.params,
+            mesh_lib.make_fsdp_param_shardings(mesh, m.params),
+        )
+        # Adam mu mirrors the param sharding (ZeRO: moments sharded too)
+        mu_conv = opt[1][0].mu["input_conv"]["w"]
+        assert (
+            mu_conv.addressable_shards[0].data.shape[-1]
+            == mu_conv.shape[-1] // 8
+        )
+
+    def test_fsdp_composes_with_tp(self, eight_devices):
+        """dp4 x tp2: a TP-sharded matmul param gains 'data' on another dim."""
+        m = _tiny()
+        mesh = mesh_lib.create_mesh(model_axis=2)
+        params = mesh_lib.shard_params_fsdp(mesh, m.params, tp=True)
+        qkv_w = params["mid_attn"]["qkv"]["w"]  # (C, 3C) -> P('data','model')
+        spec = qkv_w.sharding.spec
+        assert "model" in spec
+        assert "data" in spec
+
+    def test_fsdp_spec_rules(self, eight_devices):
+        P = jax.sharding.PartitionSpec
+        # largest divisible dim wins
+        assert mesh_lib.fsdp_spec((16, 64), 8) == P(None, "data")
+        # dims taken by TP are skipped
+        assert mesh_lib.fsdp_spec((16, 64), 8, P(None, "model")) == P(
+            "data", "model"
+        )
+        # nothing divisible -> replicated
+        assert mesh_lib.fsdp_spec((3, 5), 8) == P(None, None)
+        # scalars
+        assert mesh_lib.fsdp_spec((), 8) == P()
+
+    def test_fsdp_end_to_end_training(self, eight_devices, tmp_path):
+        """train_base_flow(fsdp=True) trains and the losses fall."""
+        from rectified_flow_vision_tpu.data import ArrayDataset
+        from rectified_flow_vision_tpu.models import train_base_flow
+
+        imgs = np.random.RandomState(3).randn(16, 8, 8, 3).astype(np.float32)
+        m = _tiny(seed=2)
+        mesh = mesh_lib.create_mesh()
+        losses = train_base_flow(
+            m, ArrayDataset(imgs), epochs=2, lr=1e-3, batch_size=8,
+            mesh=mesh, fsdp=True, progress=False,
+        )
+        assert len(losses) == 2
+        assert np.isfinite(losses).all()
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_inprocess(self, eight_devices):
         import __graft_entry__ as g
