@@ -45,6 +45,8 @@ class SamplerService:
         seed: int = 0,
         mesh=None,
         warmup: bool = True,
+        vae=None,
+        vae_params=None,
     ):
         self.model = model
         self.batch_size = batch_size
@@ -55,6 +57,11 @@ class SamplerService:
         self._noise_shape = (
             batch_size, model.image_size, model.image_size, model.in_channels
         )
+        # latent pipeline: the flow model samples latents, a jitted ConvVAE
+        # decode maps them to pixel images before returning
+        self._decode = None
+        if vae is not None:
+            self._decode = jax.jit(lambda z: vae.decode(vae_params, z))
 
         if mesh is not None:
             from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
@@ -69,8 +76,17 @@ class SamplerService:
             self.warmup()
 
     @classmethod
-    def from_checkpoint(cls, path: str, **kwargs) -> "SamplerService":
+    def from_checkpoint(
+        cls, path: str, *, vae_path: Optional[str] = None, **kwargs
+    ) -> "SamplerService":
+        """Load a flow checkpoint; ``vae_path`` makes it a latent service
+        (sample latents, decode to pixels)."""
         model = BaseFlowModel.from_checkpoint(path)
+        if vae_path is not None:
+            from rectified_flow_vision_tpu.models.autoencoder import ConvVAE
+
+            vae, vae_params = ConvVAE.load(vae_path)
+            kwargs.update(vae=vae, vae_params=vae_params)
         return cls(model, **kwargs)
 
     # ---- lifecycle ---------------------------------------------------------
@@ -83,6 +99,8 @@ class SamplerService:
         for n, sampler in self._samplers.items():
             t0 = time.perf_counter()
             out = sampler(self.model.params, noise)
+            if self._decode is not None:
+                out = self._decode(out)
             float(jnp.sum(out))  # force completion (tunnel-safe sync)
             stats[n] = time.perf_counter() - t0
             log.info("warmed num_steps=%d in %.1fs", n, stats[n])
@@ -124,6 +142,8 @@ class SamplerService:
                 self._next_key(), self._noise_shape, jnp.float32
             )
             out = sampler(self.model.params, self._place(noise))
+            if self._decode is not None:
+                out = self._decode(out)
             outs.append(out)
             remaining -= self.batch_size
         result = jnp.concatenate(outs)[:n]
@@ -136,11 +156,16 @@ class SamplerService:
             jax.random.normal(self._next_key(), self._noise_shape, jnp.float32)
         )
         out = sampler(self.model.params, x)
+        if self._decode is not None:
+            out = self._decode(out)
         float(jnp.sum(out))
         t0 = time.perf_counter()
+        d = None
         for _ in range(iters):
             x = sampler(self.model.params, x)
-        float(jnp.sum(x))
+            if self._decode is not None:
+                d = self._decode(x)
+        float(jnp.sum(x if d is None else d))
         return self.batch_size * iters / (time.perf_counter() - t0)
 
 
@@ -164,12 +189,16 @@ def main() -> None:
                         choices=["euler", "midpoint", "heun"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="results/served_samples.png")
+    parser.add_argument("--vae", default=None, metavar="VAE_NPZ",
+                        help="ConvVAE checkpoint: serve a latent-space flow "
+                             "model, decoding samples to pixels")
     parser.add_argument("--bench", action="store_true",
                         help="also print steady-state throughput")
     args = parser.parse_args()
 
     svc = SamplerService.from_checkpoint(
         args.checkpoint,
+        vae_path=args.vae,
         step_counts=(args.steps,),
         batch_size=min(args.batch_size, max(args.num, 1)),
         method=args.method,

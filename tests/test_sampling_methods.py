@@ -129,6 +129,35 @@ class TestSamplerService:
         svc = SamplerService(m, step_counts=(1,), batch_size=4, warmup=True)
         assert svc.throughput(1, iters=2) > 0
 
+    def test_latent_service_decodes_to_pixels(self, tmp_path):
+        """A latent flow model + ConvVAE serves PIXEL images: the sampler
+        runs at latent resolution, generate() returns decoded pixels."""
+        from rectified_flow_vision_tpu.models import BaseFlowModel
+        from rectified_flow_vision_tpu.models.autoencoder import ConvVAE
+
+        vae = ConvVAE(
+            image_size=16, latent_channels=4, base_channels=8, downsample=4
+        )
+        vae_params = vae.init(jax.random.key(0))
+        vae_path = str(tmp_path / "vae.npz")
+        vae.save(vae_path, vae_params)
+
+        flow = BaseFlowModel(
+            image_size=4, in_channels=4, model_channels=8,
+            channel_mult=[1], num_res_blocks=1, sample_dtype="float32",
+        )
+        flow_path = str(tmp_path / "flow.npz")
+        flow.save(flow_path)
+
+        svc = SamplerService.from_checkpoint(
+            flow_path, vae_path=vae_path,
+            step_counts=(2,), batch_size=4, warmup=True,
+        )
+        imgs = svc.generate(3, num_steps=2)
+        assert imgs.shape == (3, 3, 16, 16)  # pixels, not 4x4x4 latents
+        assert np.isfinite(imgs).all()
+        assert svc.throughput(2, iters=2) > 0
+
 
 class TestFromCheckpointDispatch:
     def test_rectified_checkpoint_restores_class(self, tmp_path):
