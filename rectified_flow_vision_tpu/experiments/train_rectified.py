@@ -105,6 +105,7 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
             lr=cfg.training_rectified.learning_rate,
             save_dir=str(checkpoint_dir),
             mesh=mesh,
+            fsdp=cfg.parallel.fsdp,
         )
         log.info("Created %d iteratively rectified models", len(models))
 

@@ -344,6 +344,7 @@ def iterative_reflow(
     batch_size: int = 16,
     seed: int = 0,
     mesh=None,
+    fsdp: bool = False,
 ) -> List[RectifiedFlowModel]:
     """Reflow-K: iteratively re-straighten (reference: rectified_flow.py:258-318).
 
@@ -387,6 +388,7 @@ def iterative_reflow(
             seed=seed + k,
             data_format="NHWC",
             mesh=mesh,
+            fsdp=fsdp,
         )
 
         models.append(student)
