@@ -127,18 +127,29 @@ def benchmark_throughput(
     noise = jax.random.normal(
         key, (batch_size, image_size, image_size, model.in_channels)
     )
+    # latent pipelines: chain the latent sampler, but time the VAE decode
+    # of every chained output too — the reported img/s is end-to-end pixels
+    flow = getattr(model, "flow", model)
+    decode = getattr(model, "_decode", None)
     for num_steps in steps_list:
-        sampler = model._get_sampler(num_steps, False, model.sample_dtype)
-        x = sampler(model.params, noise)
+        sampler = flow._get_sampler(num_steps, False, flow.sample_dtype)
+        x = sampler(flow.params, noise)
+        if decode is not None:
+            x = decode(x)
         float(jnp.sum(x))  # warmup + compile, synced
 
         times = []
         for _ in range(num_runs):
             t0 = time.perf_counter()
             x = noise
+            d = None
             for _ in range(chain):
-                x = sampler(model.params, x)
-            float(jnp.sum(x))
+                x = sampler(flow.params, x)
+                if decode is not None:
+                    d = decode(x)
+            # TPU launches execute in order: syncing the last output syncs
+            # the whole chain (incl. the interleaved decodes)
+            float(jnp.sum(x if d is None else d))
             times.append((time.perf_counter() - t0) / chain)
         best = min(times)
         results.append(
@@ -247,7 +258,22 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
             LatentFlowPipeline,
         )
 
-        vae, vae_params = ConvVAE.load(str(checkpoint_dir / "vae.npz"))
+        vae_path = checkpoint_dir / "vae.npz"
+        if vae_path.exists():
+            vae, vae_params = ConvVAE.load(str(vae_path))
+        else:
+            # same missing-checkpoint contract as the flow models: warn
+            # and continue with untrained weights rather than abort
+            log.warning(
+                "VAE checkpoint not found at %s — using an UNTRAINED "
+                "decoder (results will be meaningless)", vae_path,
+            )
+            vae = ConvVAE(
+                image_size=cfg.data.image_size,
+                latent_channels=cfg.model.latent_channels,
+                downsample=cfg.model.latent_downsample,
+            )
+            vae_params = vae.init(jax.random.key(0))
         base_out = LatentFlowPipeline(base_model, vae, vae_params)
         rect_out = LatentFlowPipeline(rect_model, vae, vae_params)
         image_size = base_model.image_size  # sweep at latent resolution
@@ -260,21 +286,23 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
 
     log.info("Benchmarking BASE model (latency, batch 4)...")
     base_latency = benchmark_speed(
-        base_model, num_samples, steps_to_test, image_size, num_runs
+        base_out, num_samples, steps_to_test, image_size, num_runs
     )
     log.info("Benchmarking RECTIFIED model (latency, batch 4)...")
     rect_latency = benchmark_speed(
-        rect_model, num_samples, steps_to_test, image_size, num_runs
+        rect_out, num_samples, steps_to_test, image_size, num_runs
     )
 
     tput_batch = getattr(cfg.benchmark, "throughput_batch", 256)
     if tput_batch:
         log.info("Benchmarking throughput (chained, batch %d)...", tput_batch)
+        # latent mode: benchmark the PIPELINE (sampler + VAE decode) so the
+        # reported img/s is end-to-end pixels, not latents
         base_results = benchmark_throughput(
-            base_model, steps_to_test, image_size, tput_batch
+            base_out, steps_to_test, image_size, tput_batch, num_runs=num_runs
         )
         rect_results = benchmark_throughput(
-            rect_model, steps_to_test, image_size, tput_batch
+            rect_out, steps_to_test, image_size, tput_batch, num_runs=num_runs
         )
     else:
         base_results, rect_results = base_latency, rect_latency

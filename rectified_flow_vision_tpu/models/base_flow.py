@@ -135,6 +135,13 @@ class BaseFlowModel:
             self.use_pallas = backbone == "dit" and fused.pallas_available()
         else:
             self.use_pallas = bool(use_pallas) and fused.pallas_available()
+        # Fused gn_silu+dropout kernel gate (it WINS, unlike the forward
+        # kernels): None => auto-on when shapes allow; an EXPLICIT
+        # use_pallas bool also governs it, so use_pallas=False is a real
+        # all-Pallas kill switch
+        self.pallas_dropout: Optional[bool] = (
+            None if use_pallas is None else bool(use_pallas)
+        )
 
         self._rng = jax.random.key(seed)
         self.params: Params = (
@@ -204,6 +211,7 @@ class BaseFlowModel:
         x0: Optional[Array] = None,
         train: bool = True,
         time_sampling: str = "uniform",
+        pallas_dropout: Optional[bool] = None,
     ) -> Array:
         """Pure flow-matching loss on an NHWC batch (used inside train jit).
 
@@ -230,9 +238,13 @@ class BaseFlowModel:
         else:
             raise ValueError(f"unknown time_sampling {time_sampling!r}")
         x_t, target = self.get_interpolation(x0, x1, t)
+        if pallas_dropout is None:  # None => inherit the model's setting
+            pallas_dropout = self.pallas_dropout
         extra = (
-            {"remat": self.remat} if self.backbone == "unet" else {}
-        )  # DiT takes remat at construction (cfg.remat)
+            {"remat": self.remat, "pallas_dropout": pallas_dropout}
+            if self.backbone == "unet"
+            else {}
+        )  # DiT takes remat at construction (cfg.remat) and has no dropout
         pred = self.velocity_net.apply(
             params,
             x_t,
@@ -502,6 +514,7 @@ def make_train_step(
     coupled: bool,
     ema_decay: Optional[float] = None,
     time_sampling: str = "uniform",
+    pallas_dropout: Optional[bool] = None,
 ):
     """Build the single jitted, donated train step.
 
@@ -517,14 +530,16 @@ def make_train_step(
         def loss(params, batch, rng):
             x0, x1 = batch
             return model.loss_fn(
-                params, x1, rng, x0=x0, train=True, time_sampling=time_sampling
+                params, x1, rng, x0=x0, train=True,
+                time_sampling=time_sampling, pallas_dropout=pallas_dropout,
             )
 
     else:
 
         def loss(params, batch, rng):
             return model.loss_fn(
-                params, batch, rng, train=True, time_sampling=time_sampling
+                params, batch, rng, train=True,
+                time_sampling=time_sampling, pallas_dropout=pallas_dropout,
             )
 
     if ema_decay is None:
@@ -564,6 +579,7 @@ def make_train_epoch(
     coupled: bool,
     ema_decay: Optional[float] = None,
     time_sampling: str = "uniform",
+    pallas_dropout: Optional[bool] = None,
 ):
     """Whole-epoch training as ONE jitted ``lax.scan`` over steps.
 
@@ -582,10 +598,12 @@ def make_train_epoch(
         if coupled:
             x0, x1 = batch
             return model.loss_fn(
-                params, x1, rng, x0=x0, train=True, time_sampling=time_sampling
+                params, x1, rng, x0=x0, train=True,
+                time_sampling=time_sampling, pallas_dropout=pallas_dropout,
             )
         return model.loss_fn(
-            params, batch, rng, train=True, time_sampling=time_sampling
+            params, batch, rng, train=True,
+            time_sampling=time_sampling, pallas_dropout=pallas_dropout,
         )
 
     use_ema = ema_decay is not None
@@ -680,12 +698,11 @@ def train_base_flow(
     """
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
-    if mesh is not None:
-        # GSPMD has no partitioning rule for pallas_call: the fused dropout
-        # kernels would force activation all-gathers on a sharded mesh
-        from rectified_flow_vision_tpu.ops import fused as _fused
-
-        _fused.set_pallas_dropout(False)
+    # GSPMD has no partitioning rule for pallas_call: the fused dropout
+    # kernel would force activation all-gathers on a sharded mesh, so the
+    # mesh path forces the XLA chain (scoped to this trainer's train step
+    # — no process-global state, single-chip runs keep the kernel win)
+    pallas_dropout = False if mesh is not None else None
 
     # dataset protocol (ImageDataset, PackedCorpus, ...): per-epoch
     # reshuffled fixed-shape batches + a known epoch length
@@ -742,10 +759,14 @@ def train_base_flow(
     if device_epoch:
         corpus_dev = jnp.asarray(corpus_host)
         train_epoch = make_train_epoch(
-            model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
+            model, tx, coupled=False,
+            ema_decay=ema_decay if use_ema else None,
+            pallas_dropout=pallas_dropout,
         )
     train_step = make_train_step(
-        model, tx, coupled=False, ema_decay=ema_decay if use_ema else None
+        model, tx, coupled=False,
+        ema_decay=ema_decay if use_ema else None,
+        pallas_dropout=pallas_dropout,
     )
     ema = None  # initialized after a possible restore (must not be fresh-init)
 

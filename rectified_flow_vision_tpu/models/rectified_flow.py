@@ -217,7 +217,12 @@ def train_rectified_flow(
     tx = make_optimizer(lr, epochs, steps_per_epoch)
     params = model.params
     opt_state = tx.init(params)
-    train_step = make_train_step(model, tx, coupled=True)
+    # mesh: force the XLA dropout chain (GSPMD cannot partition
+    # pallas_call; same guard as train_base_flow)
+    pallas_dropout = False if mesh is not None else None
+    train_step = make_train_step(
+        model, tx, coupled=True, pallas_dropout=pallas_dropout
+    )
 
     # Device-resident epoch scan (one dispatch per epoch, pair corpus in
     # HBM) — same win as train_base_flow's: on the TPU tunnel the per-step
@@ -234,7 +239,9 @@ def train_rectified_flow(
     corpus_dev = None
     if device_epoch:
         corpus_dev = (jnp.asarray(x0_data), jnp.asarray(x1_data))
-        train_epoch = make_train_epoch(model, tx, coupled=True)
+        train_epoch = make_train_epoch(
+            model, tx, coupled=True, pallas_dropout=pallas_dropout
+        )
 
     def _place(p, o):
         """DP(+TP) replicated placement, or FSDP full sharding over 'data'."""

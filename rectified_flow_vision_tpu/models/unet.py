@@ -93,6 +93,7 @@ def _resblock_apply(
     train: bool,
     rng: Optional[Array],
     use_pallas: bool,
+    pallas_dropout: Optional[bool] = None,
 ) -> Array:
     """Pre-activation residual block with additive time conditioning.
 
@@ -111,6 +112,7 @@ def _resblock_apply(
     h = F.gn_silu_dropout(
         h, p["norm2"], cfg.dropout, rng, train=train,
         num_groups=cfg.num_groups, use_pallas=use_pallas,
+        pallas_dropout=pallas_dropout,
     )
     h = P.conv2d(h, p["conv2"])
 
@@ -227,6 +229,7 @@ class UNet:
         compute_dtype: jnp.dtype = jnp.float32,
         use_pallas: bool = False,
         remat: bool = False,
+        pallas_dropout: Optional[bool] = None,
     ) -> Array:
         """Velocity prediction v(x, t). x: [B, H, W, C] NHWC; t: [B] in [0,1].
 
@@ -257,7 +260,7 @@ class UNet:
         def _res_fn(p, h, temb, block_rng):
             return _resblock_apply(
                 p, h, temb, cfg=cfg, train=train, rng=block_rng,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, pallas_dropout=pallas_dropout,
             )
 
         if remat:

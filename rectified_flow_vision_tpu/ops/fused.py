@@ -36,12 +36,14 @@ def pallas_available() -> bool:
 
 
 def set_pallas_dropout(enabled: bool) -> None:
-    """Toggle the hardware-PRNG dropout kernels.
+    """Process-wide default for the fused gn_silu+dropout kernel.
 
-    Training under a multi-chip mesh disables them (train_base_flow):
-    GSPMD has no partitioning rule for pallas_call, so sharded activations
-    would be all-gathered around the kernel — correct but slower than the
-    XLA path. Single-chip training keeps them on (measured win).
+    This is only the DEFAULT: ``gn_silu_dropout``'s ``pallas_dropout``
+    argument (threaded from ``BaseFlowModel``/the trainers) overrides it
+    per call. Trainers scope their own override — mesh training passes
+    ``pallas_dropout=False`` because GSPMD has no partitioning rule for
+    pallas_call (sharded activations would be all-gathered around the
+    kernel) — so this global is never mutated by the framework.
     """
     global _PALLAS_DROPOUT
     _PALLAS_DROPOUT = bool(enabled)
@@ -164,56 +166,6 @@ def attention(
 # off), this kernel wins and is on by default whenever shapes allow.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _dropout_pallas(x: Array, seed: Array, rate: float) -> Array:
-    from rectified_flow_vision_tpu.ops import pallas_kernels as K
-
-    return K.dropout(x, seed, rate)
-
-
-def _dropout_fwd(x, seed, rate):
-    return _dropout_pallas(x, seed, rate), seed
-
-
-def _dropout_bwd(rate, seed, g):
-    # dropout's VJP is the same masking op; same seed => identical mask
-    return _dropout_pallas(g, seed, rate), None
-
-
-_dropout_pallas.defvjp(_dropout_fwd, _dropout_bwd)
-
-
-def dropout(
-    x: Array,
-    rate: float,
-    rng: Optional[Array],
-    *,
-    train: bool,
-    use_pallas: Optional[bool] = None,
-) -> Array:
-    """Dropout: hardware-PRNG Pallas kernel on TPU, XLA elsewhere.
-
-    ``use_pallas=None`` auto-enables the kernel when available and the
-    shape tiles cleanly. The two paths draw different (equally valid)
-    random streams from the same key.
-    """
-    if not train or rate <= 0.0 or rng is None:
-        return x
-    from rectified_flow_vision_tpu.ops import pallas_kernels as K
-
-    use = pallas_available() if use_pallas is None else (
-        bool(use_pallas) and pallas_available()
-    )
-    if use and _PALLAS_DROPOUT and K.dropout_supported(x.shape):
-        import jax.numpy as jnp
-
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(rng, (1,), jnp.uint32), jnp.int32
-        )
-        return _dropout_pallas(x, seed, float(rate))
-    return P.dropout(x, rate, rng, train=train)
-
-
 # ---------------------------------------------------------------------------
 # Fused GroupNorm + SiLU + dropout (the resblock's second chain)
 # ---------------------------------------------------------------------------
@@ -259,19 +211,25 @@ def gn_silu_dropout(
     train: bool,
     num_groups: int = 8,
     use_pallas: bool = False,
+    pallas_dropout: Optional[bool] = None,
 ) -> Array:
     """gn -> silu -> dropout as one fused pass when the kernel applies.
 
     The fused kernel is gated on its own merits (auto-on on TPU when the
     per-image slab fits VMEM), independent of the forward-only
     gn_silu/attention kernels which lose to XLA and stay opt-in.
+    ``pallas_dropout`` overrides the gate: None => auto (process default
+    via ``set_pallas_dropout``), False => force the XLA chain (the model
+    kill switch for an explicit ``use_pallas=False``), True => force the
+    kernel when shapes allow.
     """
     if not train or rate <= 0.0 or rng is None:
         return gn_silu(x, p, num_groups=num_groups, use_pallas=use_pallas)
     slab_bytes = x.shape[1] * x.shape[2] * x.shape[3] * 4
+    enabled = _PALLAS_DROPOUT if pallas_dropout is None else bool(pallas_dropout)
     if (
         pallas_available()
-        and _PALLAS_DROPOUT
+        and enabled
         and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES
     ):
         import jax.numpy as jnp

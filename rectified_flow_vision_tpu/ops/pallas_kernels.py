@@ -261,12 +261,6 @@ def _dropout_block_rows(total: int) -> int:
     return 0
 
 
-def dropout_supported(shape) -> bool:
-    import numpy as _np
-
-    return _dropout_block_rows(int(_np.prod(shape))) > 0
-
-
 def dropout(x: Array, seed: Array, rate: float) -> Array:
     """Dropout with hardware PRNG. seed: [1] int32; rate: static in (0,1)."""
     import numpy as _np

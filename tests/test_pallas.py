@@ -195,3 +195,54 @@ class TestDropoutKernels:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestPallasDropoutGate:
+    """pallas_dropout tri-state: None => process default, explicit bool
+    wins (use_pallas=False at the model level is a real kill switch)."""
+
+    def _spy(self, monkeypatch):
+        from rectified_flow_vision_tpu.ops import fused as F
+
+        calls = []
+        monkeypatch.setattr(F, "pallas_available", lambda: True)
+        monkeypatch.setattr(
+            F,
+            "_gn_silu_dropout_pallas",
+            lambda x, s, b, seed, rate, g: (calls.append(1), x)[1],
+        )
+        return F, calls
+
+    def test_explicit_false_forces_xla(self, monkeypatch):
+        F, calls = self._spy(monkeypatch)
+        x = jnp.ones((2, 4, 4, 8))
+        p = {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))}
+        F.gn_silu_dropout(
+            x, p, 0.1, jax.random.key(0), train=True, pallas_dropout=False
+        )
+        assert not calls
+        F.gn_silu_dropout(
+            x, p, 0.1, jax.random.key(0), train=True, pallas_dropout=True
+        )
+        assert calls
+
+    def test_none_follows_process_default(self, monkeypatch):
+        F, calls = self._spy(monkeypatch)
+        x = jnp.ones((2, 4, 4, 8))
+        p = {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))}
+        monkeypatch.setattr(F, "_PALLAS_DROPOUT", False)
+        F.gn_silu_dropout(x, p, 0.1, jax.random.key(0), train=True)
+        assert not calls
+        monkeypatch.setattr(F, "_PALLAS_DROPOUT", True)
+        F.gn_silu_dropout(x, p, 0.1, jax.random.key(0), train=True)
+        assert calls
+
+    def test_model_level_kill_switch(self):
+        from rectified_flow_vision_tpu.models import BaseFlowModel
+
+        kw = dict(
+            image_size=8, model_channels=16, channel_mult=[1],
+            num_res_blocks=1, sample_dtype="float32",
+        )
+        assert BaseFlowModel(use_pallas=False, **kw).pallas_dropout is False
+        assert BaseFlowModel(use_pallas=None, **kw).pallas_dropout is None

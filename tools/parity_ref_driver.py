@@ -31,6 +31,55 @@ import torch
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.chdir(os.path.dirname(os.path.abspath(__file__)))
 
+# torchvision is not installed in this environment. The reference uses only
+# transforms.{Compose,Resize,ToTensor,Normalize} on PIL RGB images
+# (reference experiments/train_base.py:32-36), so register a faithful stub
+# before the reference imports it: bilinear resize, HWC uint8 -> CHW float
+# in [0,1], per-channel (x - mean) / std.
+try:  # pragma: no cover - prefer the real package when present
+    import torchvision  # noqa: F401
+except ModuleNotFoundError:
+    import types
+
+    from PIL import Image
+
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = tuple(size) if isinstance(size, (tuple, list)) else (size, size)
+
+        def __call__(self, img):
+            return img.resize((self.size[1], self.size[0]), Image.BILINEAR)
+
+    class _ToTensor:
+        def __call__(self, img):
+            a = np.asarray(img, dtype=np.float32) / 255.0
+            return torch.from_numpy(a).permute(2, 0, 1).contiguous()
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    _tv = types.ModuleType("torchvision")
+    _tf = types.ModuleType("torchvision.transforms")
+    _tf.Compose, _tf.Resize = _Compose, _Resize
+    _tf.ToTensor, _tf.Normalize = _ToTensor, _Normalize
+    _tv.transforms = _tf
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.transforms"] = _tf
+
 from torch.utils.data import DataLoader
 
 from experiments.train_base import ImageDataset
@@ -40,7 +89,18 @@ from models.rectified_flow import (
     generate_reflow_pairs,
     train_rectified_flow,
 )
-from utils.download_data import generate_synthetic_images
+
+# load utils/download_data.py directly by path: the utils package __init__
+# pulls in metrics -> skimage/lpips, which this environment doesn't have
+# and this driver doesn't need
+import importlib.util
+
+_spec = importlib.util.spec_from_file_location(
+    "_ref_download_data", os.path.join("utils", "download_data.py")
+)
+_dd = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_dd)
+generate_synthetic_images = _dd.generate_synthetic_images
 
 OUT = "out"
 os.makedirs(OUT, exist_ok=True)
@@ -82,6 +142,21 @@ torch.manual_seed(777)
 noise = torch.randn(128, 3, 64, 64)
 np.save(f"{OUT}/noise_128.npy", noise.numpy())
 
+
+def _velocity_probe(m, x):
+    """[5,8,3,64,64]: v(x, t) at t in {0,.25,.5,.75,1} — consumed by
+    tools/parity_run.py step 1 (velocity-field agreement via pt import)."""
+    with torch.no_grad():
+        return torch.stack(
+            [
+                m.forward(x, torch.full((x.shape[0],), tv))
+                for tv in (0.0, 0.25, 0.5, 0.75, 1.0)
+            ]
+        ).numpy()
+
+
+np.save(f"{OUT}/base_velocity_probe.npy", _velocity_probe(model, noise[:8]))
+
 t0 = time.time()
 outs = []
 with torch.no_grad():
@@ -112,6 +187,7 @@ rlosses = train_rectified_flow(
 )
 np.save(f"{OUT}/rect_losses.npy", np.array(rlosses))
 rect.save(f"{OUT}/rect_final.pt")
+np.save(f"{OUT}/rect_velocity_probe.npy", _velocity_probe(rect, noise[:8]))
 mark("rect_train_15ep", t0)
 
 t0 = time.time()
