@@ -234,9 +234,12 @@ class UNet:
         """Velocity prediction v(x, t). x: [B, H, W, C] NHWC; t: [B] in [0,1].
 
         ``remat`` recomputes each residual block in the backward pass
-        (jax.checkpoint). The train step is HBM-bandwidth-bound (~52 GB
-        traffic vs 9.7 TFLOP at batch 256), so trading recompute FLOPs for
-        activation traffic is a throughput win, not just a memory one.
+        (jax.checkpoint) — a MEMORY lever for models that don't fit HBM,
+        not a speed one here: measured at the flagship shape (64x64, batch
+        256, bf16, v5e) remat=True drops the train step from ~2034 to
+        ~302 img/s (the conv recompute is far more expensive than the
+        activation re-reads it saves). Default off; the DiT path enables
+        it per-config for long token sequences.
         """
         cfg = self.cfg
         x = x.astype(compute_dtype)
