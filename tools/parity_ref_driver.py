@@ -145,14 +145,21 @@ np.save(f"{OUT}/noise_128.npy", noise.numpy())
 
 def _velocity_probe(m, x):
     """[5,8,3,64,64]: v(x, t) at t in {0,.25,.5,.75,1} — consumed by
-    tools/parity_run.py step 1 (velocity-field agreement via pt import)."""
+    tools/parity_run.py step 1 (velocity-field agreement via pt import).
+    eval() first: the model leaves training in train mode and active
+    dropout would randomize the probe."""
+    was_training = m.training
+    m.eval()
     with torch.no_grad():
-        return torch.stack(
+        out = torch.stack(
             [
                 m.forward(x, torch.full((x.shape[0],), tv))
                 for tv in (0.0, 0.25, 0.5, 0.75, 1.0)
             ]
         ).numpy()
+    if was_training:
+        m.train()
+    return out
 
 
 np.save(f"{OUT}/base_velocity_probe.npy", _velocity_probe(model, noise[:8]))
