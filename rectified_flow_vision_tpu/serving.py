@@ -58,10 +58,15 @@ class SamplerService:
             batch_size, model.image_size, model.image_size, model.in_channels
         )
         # latent pipeline: the flow model samples latents, a jitted ConvVAE
-        # decode maps them to pixel images before returning
+        # decode maps them to pixel images before returning (bf16 decode:
+        # 4.7x faster, ~2-uint8-level max deviation — see LatentFlowPipeline)
         self._decode = None
         if vae is not None:
-            self._decode = jax.jit(lambda z: vae.decode(vae_params, z))
+            from rectified_flow_vision_tpu.models.autoencoder import (
+                LatentFlowPipeline,
+            )
+
+            self._decode = LatentFlowPipeline(model, vae, vae_params)._decode
 
         if mesh is not None:
             from rectified_flow_vision_tpu.parallel import mesh as mesh_lib

@@ -140,3 +140,31 @@ class TestLatentPipeline:
         m = build_model(cfg)
         assert m.image_size == 64  # 256 / downsample 4
         assert m.in_channels == 4
+
+
+class TestDecodeDtype:
+    def test_bf16_decode_close_to_fp32(self):
+        """Default bf16 decode must stay within ~2 uint8 levels of fp32."""
+        import jax.numpy as jnp
+
+        from rectified_flow_vision_tpu.models.autoencoder import (
+            ConvVAE,
+            LatentFlowPipeline,
+        )
+        from rectified_flow_vision_tpu.models.base_flow import BaseFlowModel
+
+        vae = ConvVAE(
+            image_size=16, latent_channels=4, base_channels=8, downsample=4
+        )
+        params = vae.init(jax.random.key(0))
+        flow = BaseFlowModel(
+            image_size=4, in_channels=4, model_channels=8,
+            channel_mult=[1], num_res_blocks=1, sample_dtype="float32",
+        )
+        p16 = LatentFlowPipeline(flow, vae, params)  # default bf16
+        p32 = LatentFlowPipeline(flow, vae, params, decode_dtype=jnp.float32)
+        z = jax.random.normal(jax.random.key(1), (2, 4, 4, 4))
+        a = np.asarray(p16._decode(z))
+        b = np.asarray(p32._decode(z))
+        assert a.dtype == np.float32
+        assert float(np.max(np.abs(a - b))) < 0.05
