@@ -168,3 +168,45 @@ class TestDecodeDtype:
         b = np.asarray(p32._decode(z))
         assert a.dtype == np.float32
         assert float(np.max(np.abs(a - b))) < 0.05
+
+
+class TestLatentBenchmarkFunctions:
+    """benchmark_speed/throughput accept a LatentFlowPipeline and time the
+    END-TO-END path (sampler + decode), reporting pixel img/s."""
+
+    def _pipeline(self):
+        from rectified_flow_vision_tpu.models.autoencoder import (
+            ConvVAE,
+            LatentFlowPipeline,
+        )
+        from rectified_flow_vision_tpu.models.base_flow import BaseFlowModel
+
+        vae = ConvVAE(
+            image_size=16, latent_channels=4, base_channels=8, downsample=4
+        )
+        flow = BaseFlowModel(
+            image_size=4, in_channels=4, model_channels=8,
+            channel_mult=[1], num_res_blocks=1, sample_dtype="float32",
+        )
+        return LatentFlowPipeline(flow, vae, vae.init(jax.random.key(0)))
+
+    def test_throughput_times_decode(self):
+        from rectified_flow_vision_tpu.experiments.benchmark import (
+            benchmark_throughput,
+        )
+
+        pipe = self._pipeline()
+        rows = benchmark_throughput(
+            pipe, [1, 2], image_size=4, batch_size=4, num_runs=1, chain=2
+        )
+        assert [r["num_steps"] for r in rows] == [1, 2]
+        assert all(r["images_per_second"] > 0 for r in rows)
+
+    def test_speed_sweep_runs_on_pipeline(self):
+        from rectified_flow_vision_tpu.experiments.benchmark import (
+            benchmark_speed,
+        )
+
+        pipe = self._pipeline()
+        rows = benchmark_speed(pipe, 4, [1], image_size=4, num_runs=1)
+        assert rows[0]["images_per_second"] > 0
