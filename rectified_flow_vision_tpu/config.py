@@ -78,6 +78,25 @@ class TrainingRectifiedConfig:
     save_every: int = 10
     # TPU-native extensions
     resume: bool = False
+    # --- distillation-recipe knobs (defaults reproduce the reference) ----
+    # 0 => the reference's formula min(1000, num_mock_images * 10)
+    # (reference: experiments/train_rectified.py:75-80)
+    num_pairs: int = 0
+    # 0 => the reference's num_timesteps // 10 teacher steps
+    teacher_steps: int = 0
+    # ODE integrator for teacher pair synthesis: euler (reference parity) |
+    # midpoint | heun (2nd order; better targets from the curved base ODE)
+    teacher_method: str = "euler"
+    # initialise the student from the teacher's weights. The reference
+    # deliberately comments this out (rectified_flow.py:77-78); the original
+    # Rectified Flow recipe (Liu et al. 2022) initialises the k-th model
+    # from the (k-1)-th — essential for the few-step distillation claim
+    init_from_teacher: bool = False
+    # t distribution for the coupled loss: uniform | logit_normal | u_shaped
+    time_sampling: str = "uniform"
+    # >0 trains an EMA of the student (saved as *_ema_* checkpoints)
+    ema_decay: float = 0.0
+    pair_batch_size: int = 64
 
 
 @dataclass
@@ -90,6 +109,12 @@ class BenchmarkConfig:
     # batch for the dependency-chained throughput sweep (the credible
     # ms/img numbers on TPU); 0 disables and keeps latency-only columns
     throughput_batch: int = 256
+    # number of reference/generated images for the quality benchmark
+    # (more => tighter FID estimates; capped by the corpus size)
+    quality_samples: int = 32
+    # evaluate *_ema_final checkpoints when present (EMA weights are the
+    # production sampling weights whenever ema_decay > 0 during training)
+    prefer_ema: bool = False
 
 
 @dataclass

@@ -19,12 +19,60 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-_LIB_PATH = Path(__file__).resolve().parent.parent.parent / "lib" / "librfv_data.so"
+_ROOT = Path(__file__).resolve().parent.parent.parent
+_LIB_PATH = _ROOT / "lib" / "librfv_data.so"
+_SRC_PATH = _ROOT / "csrc" / "databatch.cpp"
 _lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
+
+
+def _try_build() -> bool:
+    """Compile the native pipeline on first use (a few seconds of g++).
+
+    The .so is a build artifact, not a committed binary; any environment
+    with a C++ toolchain gets the native path automatically. Set
+    RFV_NO_NATIVE_BUILD=1 to suppress (tests of the fallback path do).
+    Concurrent builders race benignly: each compiles to its own temp file
+    and os.replace() is atomic.
+    """
+    global _build_attempted
+    if _build_attempted:
+        return _LIB_PATH.exists()
+    _build_attempted = True
+    if os.environ.get("RFV_NO_NATIVE_BUILD"):
+        return False
+    if not _SRC_PATH.exists():
+        return False
+    import shutil
+    import subprocess
+    import tempfile
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        return False
+    _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+    tmp = tempfile.NamedTemporaryFile(
+        dir=_LIB_PATH.parent, suffix=".so", delete=False
+    )
+    tmp.close()
+    cmd = [
+        gxx, "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", str(_SRC_PATH), "-o", tmp.name,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp.name, _LIB_PATH)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        try:
+            os.unlink(tmp.name)
+        except OSError:
+            pass
+        return False
 
 
 def native_available() -> bool:
-    return _LIB_PATH.exists()
+    return _LIB_PATH.exists() or _try_build()
 
 
 def _load_lib() -> ctypes.CDLL:

@@ -164,12 +164,19 @@ def benchmark_throughput(
 
 
 def benchmark_quality(model, reference_images, num_steps: int, noise_shape=None):
-    """Quality vs reference images: SSIM + LPIPS (+ raw-pixel FID).
+    """Quality vs reference images: SSIM, LPIPS, raw-pixel FID, deep FID.
 
     The reference defines this but never calls it (benchmark.py:86-118);
     here it is part of the main run. ``reference_images`` is NHWC in [-1,1].
     ``noise_shape`` overrides the sampling-noise shape (latent pipelines
     draw latent-shaped noise but emit pixel images).
+
+    Columns: ``lpips`` is the reference's row-paired statistic (kept for
+    contract parity; near-constant for unpaired sets), ``lpips_to_ref`` is
+    the discriminative nearest-reference perceptual distance, and
+    ``fid_deep`` is learned-feature FID (the production metric the
+    reference's own comment points at, utils/metrics.py:84-88) — the
+    conclusions heuristic judges on fid_deep when available.
     """
     calc = MetricsCalculator()
     noise = jax.random.normal(
@@ -187,16 +194,20 @@ def benchmark_quality(model, reference_images, num_steps: int, noise_shape=None)
     ssim_scores = [
         calc.compute_ssim(ref_np[i], gen_np[i]) for i in range(ref_np.shape[0])
     ]
-    ref_nchw = np.transpose(reference_images, (0, 3, 1, 2))
+    ref_nchw = np.transpose(np.asarray(reference_images), (0, 3, 1, 2))
     gen_nchw = np.transpose(generated, (0, 3, 1, 2))
     lpips_score = calc.compute_lpips(ref_nchw, gen_nchw)
+    lpips_to_ref = calc.compute_lpips_to_set(gen_nchw, ref_nchw)
     fid = calc.compute_fid(ref_nchw, gen_nchw)
+    fid_deep = calc.compute_fid_deep(ref_nchw, gen_nchw)
 
     return {
         "ssim_mean": float(np.mean(ssim_scores)),
         "ssim_std": float(np.std(ssim_scores)),
         "lpips": lpips_score,
+        "lpips_to_ref": lpips_to_ref,
         "fid_simple": fid,
+        "fid_deep": fid_deep,
         "num_steps": num_steps,
     }
 
@@ -205,6 +216,14 @@ def _load_model(cls, cfg: Config, path: Path, name: str):
     from rectified_flow_vision_tpu.experiments.train_base import build_model
 
     model = build_model(cfg, cls)
+    if getattr(cfg.benchmark, "prefer_ema", False):
+        ema_path = path.with_name(
+            path.name.replace("_final", "_ema_final")
+        )
+        if ema_path.exists():
+            model.load(str(ema_path))
+            log.info("%s model loaded from EMA checkpoint %s", name, ema_path.name)
+            return model
     if path.exists():
         model.load(str(path))
         log.info("%s model loaded from checkpoint", name)
@@ -367,7 +386,8 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
             else None
         )
         if ds is not None and len(ds) >= 8:
-            ref_imgs = ds.images[: min(len(ds), 32)]
+            n_q = getattr(cfg.benchmark, "quality_samples", 32)
+            ref_imgs = ds.images[: min(len(ds), n_q)]
             q_noise_shape = (
                 (ref_imgs.shape[0], image_size, image_size, base_model.in_channels)
                 if latent
@@ -418,12 +438,15 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     )
     results_df["speedup"] = results_df["base_time_ms"] / results_df["rect_time_ms"]
     if tput_batch:
-        # primary columns above come from the chained throughput sweep;
-        # the reference-methodology batch-4 latency is kept alongside
-        results_df["base_latency_ms_b4"] = [
+        # primary columns above come from the chained throughput sweep; the
+        # reference-methodology batch-4 numbers are kept alongside but
+        # labelled dispatch-bound: at TPU speeds a batch-4 window measures
+        # per-call dispatch/tunnel noise, not compute, and is NOT expected
+        # to be monotone in step count
+        results_df["base_dispatch_bound_ms_b4"] = [
             r["time_per_image"] * 1000 for r in base_latency
         ]
-        results_df["rect_latency_ms_b4"] = [
+        results_df["rect_dispatch_bound_ms_b4"] = [
             r["time_per_image"] * 1000 for r in rect_latency
         ]
 
@@ -521,7 +544,10 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         # The reference prints its quality-match claim unconditionally
         # (benchmark.py:287-306); here it must be SUPPORTED by the measured
         # quality rows: best few-step rectified FID within 10% (or SSIM
-        # within 0.02) of the many-step base anchor.
+        # within 0.02) of the many-step base anchor. Judged on learned-
+        # feature fid_deep when the backbone is available (the production
+        # metric, ref utils/metrics.py:84-88), raw-pixel fid_simple
+        # otherwise.
         claim_supported = None  # None = no quality data to judge with
         anchor = next(
             (
@@ -535,16 +561,21 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
             if r["model"] == "rectified" and r["num_steps"] <= 4
         ]
         if anchor and rect_few:
-            best_rect = min(rect_few, key=lambda r: r["fid_simple"])
-            claim_supported = best_rect["fid_simple"] <= 1.10 * anchor[
-                "fid_simple"
+            fid_col = (
+                "fid_deep"
+                if np.isfinite(anchor.get("fid_deep", float("nan")))
+                else "fid_simple"
+            )
+            best_rect = min(rect_few, key=lambda r: r[fid_col])
+            claim_supported = best_rect[fid_col] <= 1.10 * anchor[
+                fid_col
             ] or best_rect["ssim_mean"] >= anchor["ssim_mean"] - 0.02
             log.info(
-                "Measured quality: rect@%d FID %.1f / SSIM %.3f vs "
+                "Measured quality (%s): rect@%d FID %.1f / SSIM %.3f vs "
                 "base@%d FID %.1f / SSIM %.3f",
-                best_rect["num_steps"], best_rect["fid_simple"],
+                fid_col, best_rect["num_steps"], best_rect[fid_col],
                 best_rect["ssim_mean"], anchor["num_steps"],
-                anchor["fid_simple"], anchor["ssim_mean"],
+                anchor[fid_col], anchor["ssim_mean"],
             )
         if claim_supported:
             log.info(

@@ -60,38 +60,61 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     log.info("TRAINING RECTIFIED MODEL (Single Reflow)")
     log.info("=" * 60)
 
-    rect_model = RectifiedFlowModel.from_base_model(base_model)
+    tr = cfg.training_rectified
+    rect_model = RectifiedFlowModel.from_base_model(
+        base_model, copy_weights=tr.init_from_teacher
+    )
 
-    num_pairs = min(1000, cfg.data.num_mock_images * 10)
+    # distillation-recipe knobs; the 0-defaults reproduce the reference's
+    # formulas (experiments/train_rectified.py:75-80)
+    num_pairs = tr.num_pairs or min(1000, cfg.data.num_mock_images * 10)
+    teacher_steps = tr.teacher_steps or cfg.training_base.num_timesteps // 10
     x0_data, x1_data = generate_reflow_pairs(
         base_model,
         num_pairs=num_pairs,
-        num_steps=cfg.training_base.num_timesteps // 10,
+        num_steps=teacher_steps,
         data_format="NHWC",
+        batch_size=tr.pair_batch_size,
+        method=tr.teacher_method,
     )
 
     losses = train_rectified_flow(
         model=rect_model,
         x0_data=x0_data,
         x1_data=x1_data,
-        epochs=cfg.training_rectified.epochs,
-        batch_size=cfg.training_rectified.batch_size,
-        lr=cfg.training_rectified.learning_rate,
+        epochs=tr.epochs,
+        batch_size=tr.batch_size,
+        lr=tr.learning_rate,
         save_path=str(checkpoint_dir / "rectified_flow_k1"),
-        save_every=cfg.training_rectified.save_every,
+        save_every=tr.save_every,
         data_format="NHWC",
         mesh=mesh,
         resume_dir=(
             str(checkpoint_dir / "state_rectified_k1")
-            if cfg.training_rectified.resume
+            if tr.resume
             else None
         ),
         fsdp=cfg.parallel.fsdp,
+        ema_decay=tr.ema_decay or None,
+        time_sampling=tr.time_sampling,
     )
 
     np.save(str(checkpoint_dir / "rectified_flow_k1_losses.npy"), losses)
 
-    num_reflow_iters = cfg.training_rectified.num_reflow_iterations
+    if tr.ema_decay:
+        # production sampling weights: the benchmark evaluates the
+        # *_ema_final checkpoint when benchmark.prefer_ema is set; keep the
+        # in-memory model on them too so the straightness report matches
+        from rectified_flow_vision_tpu.utils import checkpoint as ckpt_io
+
+        ema_params, _ = ckpt_io.load_params(
+            str(checkpoint_dir / "rectified_flow_k1_ema_final.npz")
+        )
+        rect_model.params = jax.tree_util.tree_map(
+            np.asarray, ema_params
+        )
+
+    num_reflow_iters = tr.num_reflow_iterations
     if num_reflow_iters > 1:
         log.info("=" * 60)
         log.info("TRAINING ITERATIVE REFLOW (K=%d)", num_reflow_iters)
@@ -99,13 +122,18 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
         models = iterative_reflow(
             initial_model=base_model,
             num_iterations=num_reflow_iters,
-            epochs_per_iter=cfg.training_rectified.epochs // num_reflow_iters,
+            epochs_per_iter=tr.epochs // num_reflow_iters,
             num_pairs=num_pairs,
-            teacher_steps=100,
-            lr=cfg.training_rectified.learning_rate,
+            teacher_steps=teacher_steps,
+            lr=tr.learning_rate,
             save_dir=str(checkpoint_dir),
             mesh=mesh,
             fsdp=cfg.parallel.fsdp,
+            pair_batch_size=tr.pair_batch_size,
+            init_from_teacher=tr.init_from_teacher,
+            teacher_method=tr.teacher_method,
+            time_sampling=tr.time_sampling,
+            ema_decay=tr.ema_decay or None,
         )
         log.info("Created %d iteratively rectified models", len(models))
 

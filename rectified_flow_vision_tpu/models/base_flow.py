@@ -212,6 +212,7 @@ class BaseFlowModel:
         train: bool = True,
         time_sampling: str = "uniform",
         pallas_dropout: Optional[bool] = None,
+        pallas_mesh=None,
     ) -> Array:
         """Pure flow-matching loss on an NHWC batch (used inside train jit).
 
@@ -241,7 +242,11 @@ class BaseFlowModel:
         if pallas_dropout is None:  # None => inherit the model's setting
             pallas_dropout = self.pallas_dropout
         extra = (
-            {"remat": self.remat, "pallas_dropout": pallas_dropout}
+            {
+                "remat": self.remat,
+                "pallas_dropout": pallas_dropout,
+                "pallas_mesh": pallas_mesh,
+            }
             if self.backbone == "unet"
             else {}
         )  # DiT takes remat at construction (cfg.remat) and has no dropout
@@ -515,6 +520,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     time_sampling: str = "uniform",
     pallas_dropout: Optional[bool] = None,
+    pallas_mesh=None,
 ):
     """Build the single jitted, donated train step.
 
@@ -522,7 +528,8 @@ def make_train_step(
     averaging across the data-parallel axis is implicit in sharded jit.
     With ``ema_decay``, an exponential moving average of the params is
     carried as an extra donated argument (production sampling weights; the
-    reference has no EMA).
+    reference has no EMA). ``pallas_mesh`` keeps the fused dropout kernel
+    alive under a data-parallel mesh (shard_map over 'data').
     """
 
     if coupled:
@@ -532,6 +539,7 @@ def make_train_step(
             return model.loss_fn(
                 params, x1, rng, x0=x0, train=True,
                 time_sampling=time_sampling, pallas_dropout=pallas_dropout,
+                pallas_mesh=pallas_mesh,
             )
 
     else:
@@ -540,6 +548,7 @@ def make_train_step(
             return model.loss_fn(
                 params, batch, rng, train=True,
                 time_sampling=time_sampling, pallas_dropout=pallas_dropout,
+                pallas_mesh=pallas_mesh,
             )
 
     if ema_decay is None:
@@ -580,6 +589,8 @@ def make_train_epoch(
     ema_decay: Optional[float] = None,
     time_sampling: str = "uniform",
     pallas_dropout: Optional[bool] = None,
+    mesh=None,
+    pallas_mesh=None,
 ):
     """Whole-epoch training as ONE jitted ``lax.scan`` over steps.
 
@@ -592,6 +603,14 @@ def make_train_epoch(
     the batch permutation is computed host-side exactly like
     ``ImageDataset.batches`` — the training trajectory is bit-compatible
     with the per-step path.
+
+    Under ``mesh`` the corpus is device-resident REPLICATED and each scan
+    step's gathered batch carries a sharding constraint over 'data', so
+    DP/FSDP training keeps the one-dispatch-per-epoch path (round 2 fell
+    back to the ~4x-slower per-step host loop the moment a mesh was
+    passed). GSPMD partitions the whole scan body from that one
+    constraint; ``pallas_mesh`` additionally keeps the fused dropout
+    kernel alive per shard.
     """
 
     def step_loss(params, batch, rng):
@@ -600,14 +619,27 @@ def make_train_epoch(
             return model.loss_fn(
                 params, x1, rng, x0=x0, train=True,
                 time_sampling=time_sampling, pallas_dropout=pallas_dropout,
+                pallas_mesh=pallas_mesh,
             )
         return model.loss_fn(
             params, batch, rng, train=True,
             time_sampling=time_sampling, pallas_dropout=pallas_dropout,
+            pallas_mesh=pallas_mesh,
         )
 
     use_ema = ema_decay is not None
     d = float(ema_decay) if use_ema else 0.0
+
+    batch_sharding = None
+    if mesh is not None:
+        from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+        batch_sharding = mesh_lib.batch_sharding(mesh)
+
+    def _constrain(b):
+        if batch_sharding is None:
+            return b
+        return jax.lax.with_sharding_constraint(b, batch_sharding)
 
     def epoch_fn(params, ema, opt_state, corpus, perm, epoch_key):
         # corpus: [N,H,W,C] on device ((x0,x1) pair of those when coupled);
@@ -617,11 +649,11 @@ def make_train_epoch(
             i, idx = inp
             if coupled:
                 batch = (
-                    jnp.take(corpus[0], idx, axis=0),
-                    jnp.take(corpus[1], idx, axis=0),
+                    _constrain(jnp.take(corpus[0], idx, axis=0)),
+                    _constrain(jnp.take(corpus[1], idx, axis=0)),
                 )
             else:
-                batch = jnp.take(corpus, idx, axis=0)
+                batch = _constrain(jnp.take(corpus, idx, axis=0))
             rng = jax.random.fold_in(epoch_key, i)
             loss_val, grads = jax.value_and_grad(step_loss)(params, batch, rng)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -650,6 +682,19 @@ def make_train_epoch(
 # corpora larger than this stay on the host per-step path (the device
 # epoch scan keeps the whole corpus in HBM)
 DEVICE_EPOCH_MAX_BYTES = 2 * 1024**3
+
+
+def _pallas_mesh_gate(mesh):
+    """(pallas_dropout, pallas_mesh) for a trainer's mesh: data-parallel
+    meshes keep the fused kernel through shard_map, TP meshes force the
+    XLA chain, no mesh keeps the single-device auto gate."""
+    if mesh is None:
+        return None, None
+    from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+    if dict(mesh.shape).get(mesh_lib.MODEL_AXIS, 1) == 1:
+        return None, mesh
+    return False, None
 
 
 def make_optimizer(lr: float, epochs: int, steps_per_epoch: int):
@@ -698,11 +743,12 @@ def train_base_flow(
     """
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
-    # GSPMD has no partitioning rule for pallas_call: the fused dropout
-    # kernel would force activation all-gathers on a sharded mesh, so the
-    # mesh path forces the XLA chain (scoped to this trainer's train step
-    # — no process-global state, single-chip runs keep the kernel win)
-    pallas_dropout = False if mesh is not None else None
+    # GSPMD has no partitioning rule for pallas_call. On a pure data-
+    # parallel (or FSDP) mesh the fused dropout kernel survives via a
+    # shard_map over 'data' (ops/fused.py:_gn_silu_dropout_sharded); with
+    # tensor parallelism the activations' channel dim is sharded and the
+    # kernel stays off (XLA chain) — scoped to this trainer's train step.
+    pallas_dropout, pallas_mesh = _pallas_mesh_gate(mesh)
 
     # dataset protocol (ImageDataset, PackedCorpus, ...): per-epoch
     # reshuffled fixed-shape batches + a known epoch length
@@ -746,11 +792,13 @@ def train_base_flow(
         device_epoch = (
             is_dataset
             and native is None
-            and mesh is None
             and corpus_host is not None
             and 0 < len(dataloader)
             and corpus_host.nbytes <= DEVICE_EPOCH_MAX_BYTES
             and jax.default_backend() != "cpu"
+            # mesh: the scan gathers per-step batches from a replicated
+            # corpus and shards them over 'data' — needs divisibility
+            and (mesh is None or batch_size % mesh.shape[mesh_lib.DATA_AXIS] == 0)
         )
     if device_epoch and corpus_host is None:
         raise ValueError("device_epoch=True needs a dataset with .images")
@@ -758,36 +806,26 @@ def train_base_flow(
     corpus_dev = None
     if device_epoch:
         corpus_dev = jnp.asarray(corpus_host)
+        if mesh is not None:
+            corpus_dev = jax.device_put(corpus_dev, mesh_lib.replicated(mesh))
         train_epoch = make_train_epoch(
             model, tx, coupled=False,
             ema_decay=ema_decay if use_ema else None,
             pallas_dropout=pallas_dropout,
+            mesh=mesh, pallas_mesh=pallas_mesh,
         )
     train_step = make_train_step(
         model, tx, coupled=False,
         ema_decay=ema_decay if use_ema else None,
-        pallas_dropout=pallas_dropout,
+        pallas_dropout=pallas_dropout, pallas_mesh=pallas_mesh,
     )
     ema = None  # initialized after a possible restore (must not be fresh-init)
 
     # Placement: batch sharded over 'data'. Params/opt-state replicated for
-    # plain DP(+TP), or fully sharded over 'data' under FSDP (ZeRO-style;
-    # GSPMD emits the per-layer all-gathers and grad reduce-scatters).
-    def _place_params(p):
-        if fsdp:
-            return mesh_lib.shard_params_fsdp(mesh, p)
-        return mesh_lib.shard_params(mesh, p)
-
-    def _place_opt(o, p):
-        if fsdp:
-            return mesh_lib.shard_opt_state(
-                mesh, o, p, mesh_lib.make_fsdp_param_shardings(mesh, p)
-            )
-        return jax.device_put(o, mesh_lib.replicated(mesh))
-
-    if mesh is not None:
-        params = _place_params(params)
-        opt_state = _place_opt(opt_state, params)
+    # plain DP(+TP), or fully sharded over 'data' under FSDP (ZeRO-style).
+    params, opt_state = mesh_lib.place_train_state(
+        mesh, params, opt_state, fsdp=fsdp
+    )
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
@@ -805,11 +843,11 @@ def train_base_flow(
             opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
             if ema is not None:
                 ema = jax.tree_util.tree_map(jnp.asarray, ema)
-            if mesh is not None:
-                params = _place_params(params)
-                opt_state = _place_opt(opt_state, params)
-                if ema is not None:
-                    ema = _place_params(ema)
+            params, opt_state = mesh_lib.place_train_state(
+                mesh, params, opt_state, fsdp=fsdp
+            )
+            if ema is not None:
+                ema = mesh_lib.place_params(mesh, ema, fsdp=fsdp)
             log.info("Resumed training from epoch %d (%s)", start_epoch, resume_dir)
 
     if not use_ema:
@@ -818,8 +856,7 @@ def train_base_flow(
         # fresh EMA only when there was nothing to restore: seeded from the
         # CURRENT (possibly restored) params, never a fresh init
         ema = jax.tree_util.tree_map(jnp.array, params)
-        if mesh is not None:
-            ema = _place_params(ema)
+        ema = mesh_lib.place_params(mesh, ema, fsdp=fsdp)
 
     for epoch in range(start_epoch, epochs):
         epoch_key = jax.random.fold_in(root_key, epoch)
@@ -837,6 +874,11 @@ def train_base_flow(
             perm = jnp.asarray(
                 idx[:end].reshape(-1, batch_size), dtype=jnp.int32
             )
+            if mesh is not None:
+                perm = jax.device_put(perm, mesh_lib.replicated(mesh))
+                epoch_key = jax.device_put(
+                    epoch_key, mesh_lib.replicated(mesh)
+                )
             params, ema, opt_state, step_losses = train_epoch(
                 params, ema, opt_state, corpus_dev, perm, epoch_key
             )

@@ -32,6 +32,7 @@ import numpy as np
 from rectified_flow_vision_tpu.models.base_flow import (
     DEVICE_EPOCH_MAX_BYTES,
     BaseFlowModel,
+    _pallas_mesh_gate,
     _to_nhwc,
     make_optimizer,
     make_train_epoch,
@@ -139,12 +140,17 @@ def generate_reflow_pairs(
     *,
     seed: int = 0,
     data_format: str = "NCHW",
+    method: str = "euler",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Synthesize (noise, teacher-generated image) couplings.
 
     All batches share one compiled sampler executable (fixed shape); the
     final partial batch is padded to full shape and truncated on the host.
     Returns numpy arrays of shape [num_pairs, ...].
+
+    ``method`` selects the teacher's ODE integrator ("euler" = reference
+    parity; "heun" gives 2nd-order targets from the curved base ODE at 2
+    net evals/step — better couplings for the same step count).
     """
     key = jax.random.key(seed)
     num_batches = -(-num_pairs // batch_size)
@@ -164,7 +170,7 @@ def generate_reflow_pairs(
             jnp.float32,
         )
         x1 = teacher_model.sample(
-            noise=x0, num_steps=num_steps, data_format="NHWC"
+            noise=x0, num_steps=num_steps, data_format="NHWC", method=method
         )
         x0_list.append(x0)
         x1_list.append(x1)
@@ -201,11 +207,17 @@ def train_rectified_flow(
     resume_dir: Optional[str] = None,
     device_epoch: Optional[bool] = None,
     fsdp: bool = False,
+    ema_decay: Optional[float] = None,
+    time_sampling: str = "uniform",
 ) -> List[float]:
     """Train the student on pre-generated couplings (reference:
     rectified_flow.py:177-255): same AdamW/cosine/clip recipe as the base
-    trainer, loss on (x0, x1) pairs with t ~ U[0,1]."""
+    trainer, loss on (x0, x1) pairs with t ~ U[0,1] by default
+    (``time_sampling`` selects logit_normal / u_shaped alternatives; with
+    ``ema_decay`` an EMA of the student is carried and checkpointed as
+    ``*_ema_*`` — the production sampling weights)."""
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+    from rectified_flow_vision_tpu.utils import checkpoint as ckpt_io
 
     x0_data = np.asarray(jax.device_get(_to_nhwc(x0_data, data_format)))
     x1_data = np.asarray(jax.device_get(_to_nhwc(x1_data, data_format)))
@@ -217,11 +229,14 @@ def train_rectified_flow(
     tx = make_optimizer(lr, epochs, steps_per_epoch)
     params = model.params
     opt_state = tx.init(params)
-    # mesh: force the XLA dropout chain (GSPMD cannot partition
-    # pallas_call; same guard as train_base_flow)
-    pallas_dropout = False if mesh is not None else None
+    use_ema = ema_decay is not None and ema_decay > 0
+    # data-parallel mesh keeps the fused dropout kernel via shard_map;
+    # TP forces the XLA chain (same gate as train_base_flow)
+    pallas_dropout, pallas_mesh = _pallas_mesh_gate(mesh)
     train_step = make_train_step(
-        model, tx, coupled=True, pallas_dropout=pallas_dropout
+        model, tx, coupled=True, pallas_dropout=pallas_dropout,
+        pallas_mesh=pallas_mesh,
+        ema_decay=ema_decay if use_ema else None, time_sampling=time_sampling,
     )
 
     # Device-resident epoch scan (one dispatch per epoch, pair corpus in
@@ -231,36 +246,36 @@ def train_rectified_flow(
     # trajectory is bit-compatible.
     if device_epoch is None:
         device_epoch = (
-            mesh is None
-            and jax.default_backend() != "cpu"
+            jax.default_backend() != "cpu"
             and x0_data.nbytes + x1_data.nbytes <= DEVICE_EPOCH_MAX_BYTES
+            and (
+                mesh is None
+                or batch_size % mesh.shape[mesh_lib.DATA_AXIS] == 0
+            )
         )
     train_epoch = None
     corpus_dev = None
     if device_epoch:
         corpus_dev = (jnp.asarray(x0_data), jnp.asarray(x1_data))
+        if mesh is not None:
+            corpus_dev = jax.device_put(
+                corpus_dev, mesh_lib.replicated(mesh)
+            )
         train_epoch = make_train_epoch(
-            model, tx, coupled=True, pallas_dropout=pallas_dropout
+            model, tx, coupled=True, pallas_dropout=pallas_dropout,
+            ema_decay=ema_decay if use_ema else None,
+            time_sampling=time_sampling,
+            mesh=mesh, pallas_mesh=pallas_mesh,
         )
 
-    def _place(p, o):
-        """DP(+TP) replicated placement, or FSDP full sharding over 'data'."""
-        if fsdp:
-            p = mesh_lib.shard_params_fsdp(mesh, p)
-            o = mesh_lib.shard_opt_state(
-                mesh, o, p, mesh_lib.make_fsdp_param_shardings(mesh, p)
-            )
-        else:
-            p = mesh_lib.shard_params(mesh, p)
-            o = jax.device_put(o, mesh_lib.replicated(mesh))
-        return p, o
-
-    if mesh is not None:
-        params, opt_state = _place(params, opt_state)
+    params, opt_state = mesh_lib.place_train_state(
+        mesh, params, opt_state, fsdp=fsdp
+    )
 
     root_key = jax.random.key(seed)
     losses: List[float] = []
     start_epoch = 0
+    ema = None
     state_mgr = None
     if resume_dir is not None:
         from rectified_flow_vision_tpu.utils.train_state import TrainStateManager
@@ -268,12 +283,24 @@ def train_rectified_flow(
         state_mgr = TrainStateManager(resume_dir)
         restored = state_mgr.restore(params, opt_state)
         if restored is not None:
-            params, opt_state, losses, start_epoch, _ = restored
+            params, opt_state, losses, start_epoch, ema = restored
             params = jax.tree_util.tree_map(jnp.asarray, params)
             opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
-            if mesh is not None:
-                params, opt_state = _place(params, opt_state)
+            if ema is not None:
+                ema = jax.tree_util.tree_map(jnp.asarray, ema)
+            params, opt_state = mesh_lib.place_train_state(
+                mesh, params, opt_state, fsdp=fsdp
+            )
+            if ema is not None:
+                ema = mesh_lib.place_params(mesh, ema, fsdp=fsdp)
             log.info("Resumed reflow training from epoch %d", start_epoch)
+
+    if not use_ema:
+        ema = None
+    if use_ema and ema is None:
+        # seeded from the CURRENT (possibly restored) params
+        ema = jax.tree_util.tree_map(jnp.array, params)
+        ema = mesh_lib.place_params(mesh, ema, fsdp=fsdp)
 
     import time as _time
 
@@ -291,8 +318,13 @@ def train_rectified_flow(
             perm = jnp.asarray(
                 order[:end].reshape(-1, batch_size), dtype=jnp.int32
             )
-            params, _, opt_state, step_losses = train_epoch(
-                params, None, opt_state, corpus_dev, perm, epoch_key
+            if mesh is not None:
+                perm = jax.device_put(perm, mesh_lib.replicated(mesh))
+                epoch_key = jax.device_put(
+                    epoch_key, mesh_lib.replicated(mesh)
+                )
+            params, ema, opt_state, step_losses = train_epoch(
+                params, ema, opt_state, corpus_dev, perm, epoch_key
             )
             avg_loss = float(jnp.mean(step_losses))
         else:
@@ -303,9 +335,14 @@ def train_rectified_flow(
                 if mesh is not None and batch_size % mesh.shape["data"] == 0:
                     batch = tuple(mesh_lib.shard_batch(mesh, b) for b in batch)
                 step_key = jax.random.fold_in(epoch_key, i)
-                params, opt_state, loss_val = train_step(
-                    params, opt_state, batch, step_key
-                )
+                if use_ema:
+                    params, ema, opt_state, loss_val = train_step(
+                        params, ema, opt_state, batch, step_key
+                    )
+                else:
+                    params, opt_state, loss_val = train_step(
+                        params, opt_state, batch, step_key
+                    )
                 epoch_losses.append(loss_val)
             avg_loss = float(
                 np.mean([jax.device_get(l) for l in epoch_losses])
@@ -323,15 +360,23 @@ def train_rectified_flow(
         model.params = params
         if save_path and (epoch + 1) % save_every == 0:
             model.save(f"{save_path}_epoch{epoch + 1}{ckpt_ext}")
+            if use_ema:
+                ckpt_io.save_params(
+                    f"{save_path}_ema_epoch{epoch + 1}{ckpt_ext}", ema, model.config
+                )
         if state_mgr is not None and (epoch + 1) % save_every == 0:
-            state_mgr.save(epoch, params, opt_state, losses)
+            state_mgr.save(epoch, params, opt_state, losses, ema=ema)
 
     model.params = params
     if save_path:
         model.save(f"{save_path}_final{ckpt_ext}")
+        if use_ema:
+            ckpt_io.save_params(
+                f"{save_path}_ema_final{ckpt_ext}", ema, model.config
+            )
     if state_mgr is not None:
         if epochs > start_epoch:
-            state_mgr.save(epochs - 1, params, opt_state, losses)
+            state_mgr.save(epochs - 1, params, opt_state, losses, ema=ema)
         state_mgr.close()
 
     return losses
@@ -352,14 +397,24 @@ def iterative_reflow(
     seed: int = 0,
     mesh=None,
     fsdp: bool = False,
+    init_from_teacher: bool = False,
+    teacher_method: str = "euler",
+    time_sampling: str = "uniform",
+    ema_decay: Optional[float] = None,
 ) -> List[RectifiedFlowModel]:
     """Reflow-K: iteratively re-straighten (reference: rectified_flow.py:258-318).
 
-    Each round: fresh student from the current teacher -> synthesize pairs
+    Each round: student from the current teacher -> synthesize pairs
     from the teacher -> train student -> student becomes teacher; the
     teacher's sampling steps halve each round (floor 10).
     ``real_data_loader`` is accepted for signature parity (the reference
     takes but never uses it beyond reference purposes).
+
+    ``init_from_teacher`` starts each student at the teacher's weights (the
+    original Rectified Flow recipe; the reference comments this copy out,
+    rectified_flow.py:77-78). With ``ema_decay`` each round also rolls an
+    EMA of the student; the EMA weights become the NEXT round's teacher
+    (and the returned model's params) — the committed-recipe quality path.
     """
     models: List[RectifiedFlowModel] = []
     current_teacher = initial_model
@@ -370,7 +425,8 @@ def iterative_reflow(
         log.info("=" * 60)
 
         student = RectifiedFlowModel.from_base_model(
-            current_teacher, seed=seed + 1000 * (k + 1)
+            current_teacher, seed=seed + 1000 * (k + 1),
+            copy_weights=init_from_teacher,
         )
         student.reflow_iteration = k + 1
 
@@ -381,6 +437,7 @@ def iterative_reflow(
             num_steps=teacher_steps,
             seed=seed + k,
             data_format="NHWC",
+            method=teacher_method,
         )
 
         save_path = f"{save_dir}/reflow_k{k + 1}" if save_dir else None
@@ -396,7 +453,16 @@ def iterative_reflow(
             data_format="NHWC",
             mesh=mesh,
             fsdp=fsdp,
+            ema_decay=ema_decay,
+            time_sampling=time_sampling,
         )
+        if ema_decay is not None and ema_decay > 0 and save_path:
+            # promote the EMA weights: they are both the returned model's
+            # params and the next round's teacher
+            from rectified_flow_vision_tpu.utils import checkpoint as ckpt_io
+
+            ema_params, _ = ckpt_io.load_params(f"{save_path}_ema_final.npz")
+            student.params = jax.tree_util.tree_map(jnp.asarray, ema_params)
 
         models.append(student)
         current_teacher = student

@@ -94,6 +94,7 @@ def _resblock_apply(
     rng: Optional[Array],
     use_pallas: bool,
     pallas_dropout: Optional[bool] = None,
+    pallas_mesh=None,
 ) -> Array:
     """Pre-activation residual block with additive time conditioning.
 
@@ -108,11 +109,12 @@ def _resblock_apply(
 
     # gn -> silu -> dropout fused into one Pallas pass on TPU (hardware
     # PRNG, mask regenerated in backward — see ops/fused.py); falls back
-    # to the XLA chain off-TPU or in eval mode
+    # to the XLA chain off-TPU or in eval mode. ``pallas_mesh`` keeps the
+    # kernel alive under data-parallel meshes via shard_map.
     h = F.gn_silu_dropout(
         h, p["norm2"], cfg.dropout, rng, train=train,
         num_groups=cfg.num_groups, use_pallas=use_pallas,
-        pallas_dropout=pallas_dropout,
+        pallas_dropout=pallas_dropout, mesh=pallas_mesh,
     )
     h = P.conv2d(h, p["conv2"])
 
@@ -230,6 +232,7 @@ class UNet:
         use_pallas: bool = False,
         remat: bool = False,
         pallas_dropout: Optional[bool] = None,
+        pallas_mesh=None,
     ) -> Array:
         """Velocity prediction v(x, t). x: [B, H, W, C] NHWC; t: [B] in [0,1].
 
@@ -264,6 +267,7 @@ class UNet:
             return _resblock_apply(
                 p, h, temb, cfg=cfg, train=train, rng=block_rng,
                 use_pallas=use_pallas, pallas_dropout=pallas_dropout,
+                pallas_mesh=pallas_mesh,
             )
 
         if remat:

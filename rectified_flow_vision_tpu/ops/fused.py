@@ -202,6 +202,39 @@ def _gsd_bwd(rate, num_groups, res, g):
 _gn_silu_dropout_pallas.defvjp(_gsd_fwd, _gsd_bwd)
 
 
+def _gn_silu_dropout_sharded(x, scale, bias, seed, rate, num_groups, mesh, axis):
+    """shard_map wrapper: run the Pallas kernel per data shard.
+
+    GSPMD has no partitioning rule for ``pallas_call`` — under a sharded
+    jit the kernel would force activation all-gathers. ``shard_map`` over
+    the batch axis makes each device run the kernel on its local shard
+    (GroupNorm reduces within a sample, so batch sharding is exact), and
+    AD through shard_map applies the kernel's custom VJP per shard. The
+    seed is folded with the shard index so dropout masks decorrelate
+    across devices; the folded seed is the VJP residual, so the backward
+    regenerates the exact same per-shard mask.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    def local(x_, scale_, bias_, seed_):
+        seed_ = seed_ + jax.lax.axis_index(axis)
+        return _gn_silu_dropout_pallas(
+            x_, scale_, bias_, seed_, rate, num_groups
+        )
+
+    spec = PS(axis, None, None, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, PS(None), PS(None), PS(None)),
+        out_specs=spec,
+    )(x, scale, bias, seed)
+
+
 def gn_silu_dropout(
     x: Array,
     p: dict,
@@ -212,6 +245,8 @@ def gn_silu_dropout(
     num_groups: int = 8,
     use_pallas: bool = False,
     pallas_dropout: Optional[bool] = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Array:
     """gn -> silu -> dropout as one fused pass when the kernel applies.
 
@@ -222,6 +257,10 @@ def gn_silu_dropout(
     via ``set_pallas_dropout``), False => force the XLA chain (the model
     kill switch for an explicit ``use_pallas=False``), True => force the
     kernel when shapes allow.
+
+    With ``mesh`` (data-parallel/FSDP training) the kernel survives GSPMD
+    via a shard_map over ``data_axis`` — see ``_gn_silu_dropout_sharded``.
+    The batch must be divisible by the axis size (trainers guarantee it).
     """
     if not train or rate <= 0.0 or rng is None:
         return gn_silu(x, p, num_groups=num_groups, use_pallas=use_pallas)
@@ -231,12 +270,18 @@ def gn_silu_dropout(
         pallas_available()
         and enabled
         and slab_bytes <= _GN_SILU_MAX_SLAB_BYTES
+        and (mesh is None or x.shape[0] % mesh.shape[data_axis] == 0)
     ):
         import jax.numpy as jnp
 
         seed = jax.lax.bitcast_convert_type(
             jax.random.bits(rng, (1,), jnp.uint32), jnp.int32
         )
+        if mesh is not None:
+            return _gn_silu_dropout_sharded(
+                x, p["scale"], p["bias"], seed, float(rate), num_groups,
+                mesh, data_axis,
+            )
         return _gn_silu_dropout_pallas(
             x, p["scale"], p["bias"], seed, float(rate), num_groups
         )

@@ -9,6 +9,8 @@ from rectified_flow_vision_tpu.parallel.mesh import (  # noqa: F401
     fsdp_spec,
     make_fsdp_param_shardings,
     maybe_init_distributed,
+    place_params,
+    place_train_state,
     replicated,
     shard_batch,
     shard_opt_state,

@@ -248,10 +248,13 @@ def shard_opt_state(mesh: Mesh, opt_state, params, param_shardings):
     states) replicates."""
     pdef = jax.tree_util.tree_structure(params)
     rep = replicated(mesh)
+    # a degenerate single-leaf params tree would structurally match every
+    # scalar optimizer node (e.g. Adam's step count) — never spec-match then
+    pdef_is_leaf = jax.tree_util.treedef_is_leaf(pdef)
 
     def place(node):
         try:
-            if jax.tree_util.tree_structure(node) == pdef:
+            if not pdef_is_leaf and jax.tree_util.tree_structure(node) == pdef:
                 return jax.tree_util.tree_map(
                     jax.device_put, node, param_shardings
                 )
@@ -264,3 +267,27 @@ def shard_opt_state(mesh: Mesh, opt_state, params, param_shardings):
         return jax.device_put(node, rep)
 
     return place(opt_state)
+
+
+def place_params(mesh: Optional[Mesh], params, *, fsdp: bool = False):
+    """Place a param pytree: FSDP-sharded over 'data' or TP/replicated."""
+    if mesh is None:
+        return params
+    return shard_params_fsdp(mesh, params) if fsdp else shard_params(mesh, params)
+
+
+def place_train_state(mesh: Optional[Mesh], params, opt_state, *, fsdp: bool = False):
+    """Place (params, opt_state) on the mesh: TP-sharded/replicated for
+    plain DP(+TP), or fully sharded over 'data' under FSDP (ZeRO-style;
+    GSPMD emits the per-layer all-gathers and grad reduce-scatters).
+    The shared placement helper used by both trainers."""
+    if mesh is None:
+        return params, opt_state
+    params = place_params(mesh, params, fsdp=fsdp)
+    if fsdp:
+        opt_state = shard_opt_state(
+            mesh, opt_state, params, make_fsdp_param_shardings(mesh, params)
+        )
+    else:
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+    return params, opt_state

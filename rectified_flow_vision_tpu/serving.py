@@ -66,7 +66,11 @@ class SamplerService:
                 LatentFlowPipeline,
             )
 
-            self._decode = LatentFlowPipeline(model, vae, vae_params)._decode
+            raw_decode = LatentFlowPipeline(model, vae, vae_params)._decode
+            # clip inside the decode wrapper: the bf16 decoder can slightly
+            # overshoot [-1, 1] and generate()'s contract (module docstring)
+            # promises images in range, matching LatentFlowPipeline.sample
+            self._decode = lambda z: jnp.clip(raw_decode(z), -1.0, 1.0)
 
         if mesh is not None:
             from rectified_flow_vision_tpu.parallel import mesh as mesh_lib

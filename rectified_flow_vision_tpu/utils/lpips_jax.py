@@ -135,3 +135,32 @@ class LPIPS:
         taps = self._features(x)
         pooled = jnp.mean(taps[-1], axis=(1, 2))  # [B, 256]
         return np.asarray(pooled)
+
+    def _norm_flat_taps(self, images):
+        """Per-stage normalised taps weighted by the learned lin heads,
+        flattened so dot products reproduce the LPIPS cross terms."""
+        x = jnp.transpose(jnp.asarray(images), (0, 2, 3, 1)).astype(jnp.float32)
+        x = (x - _SHIFT) / _SCALE
+        flats = []
+        for i, a in enumerate(self._features(x)):
+            na = _unit_normalize(a)
+            w = jnp.maximum(self.weights[f"lin{i}_w"], 0.0)  # [C]
+            hw = na.shape[1] * na.shape[2]
+            scaled = na * jnp.sqrt(w)  # so u.v = sum_c w_c na.nb per pixel
+            flats.append(
+                scaled.reshape(scaled.shape[0], hw * scaled.shape[3])
+                / np.sqrt(hw)
+            )
+        return flats
+
+    def pairwise_distance(self, imgs_a, imgs_b) -> np.ndarray:
+        """All-pairs LPIPS distances [B_a, B_b] via the Gram-matrix
+        identity (exact; three matmuls per stage instead of B_a*B_b
+        forward passes)."""
+        total = None
+        for u, v in zip(self._norm_flat_taps(imgs_a), self._norm_flat_taps(imgs_b)):
+            a2 = jnp.sum(u * u, axis=1)
+            b2 = jnp.sum(v * v, axis=1)
+            d = a2[:, None] + b2[None, :] - 2.0 * (u @ v.T)
+            total = d if total is None else total + d
+        return np.asarray(jnp.maximum(total, 0.0))

@@ -84,6 +84,24 @@ class MetricsCalculator:
             return float("nan")
         return float(model(_to_numpy(img1), _to_numpy(img2)).mean())
 
+    def compute_lpips_to_set(self, generated, reference) -> float:
+        """Mean nearest-reference perceptual distance (perceptual precision).
+
+        Row-paired LPIPS between UNPAIRED sample sets saturates at the
+        unrelated-image plateau regardless of sample quality (the committed
+        round-2 CSVs span ~0.051-0.059 across everything). The
+        discriminative statistic for unpaired sets is each generated
+        image's distance to its nearest reference: low when samples land
+        near the data manifold, high for noise. Both [B, C, H, W] in
+        [-1, 1]; NaN without a perceptual backbone (reference fallback
+        contract, utils/metrics.py:33-36).
+        """
+        model = self.lpips_model
+        if model is None or not hasattr(model, "pairwise_distance"):
+            return float("nan")
+        d = model.pairwise_distance(_to_numpy(generated), _to_numpy(reference))
+        return float(d.min(axis=1).mean())
+
     @property
     def inception_model(self):
         """Lazy-loaded InceptionV3 features; None when weights unavailable."""

@@ -272,3 +272,34 @@ class SynthNetPerceptual:
     def fid_features(self, images) -> np.ndarray:
         """Pooled penultimate features of [B,C,H,W] images in [-1,1]."""
         return np.asarray(self._feats(jnp.asarray(images)))
+
+    def _norm_flat_taps(self, images) -> List[jnp.ndarray]:
+        """Per-stage channel-unit-normalised taps, flattened to [B, H*W*C]
+        and scaled so that dot(u_i, v_j) equals the stage's perceptual
+        cross term mean_{h,w,c}(na . nb) — see ``pairwise_distance``."""
+        x = jnp.transpose(jnp.asarray(images), (0, 2, 3, 1)).astype(jnp.float32)
+        _, taps = apply(self.params, x)
+        flats = []
+        for a in taps:
+            na = a / (jnp.sqrt(jnp.sum(a**2, -1, keepdims=True)) + 1e-10)
+            hwc = na.shape[1] * na.shape[2] * na.shape[3]
+            flats.append(na.reshape(na.shape[0], hwc) / np.sqrt(hwc))
+        return flats
+
+    def pairwise_distance(self, imgs_a, imgs_b) -> np.ndarray:
+        """All-pairs perceptual distances: [B_a, B_b] matrix.
+
+        Exactly the paired distance for every (i, j): per stage,
+        mean_{h,w,c}(na_i - nb_j)^2 = |u_i|^2 + |v_j|^2 - 2 u_i.v_j with
+        u, v the scaled normalised taps — three matmuls per stage instead
+        of B_a*B_b forward passes. Powers distance-to-reference-set
+        metrics (perceptual precision), which unlike the row-paired LPIPS
+        column actually ranks sample quality for UNPAIRED sample sets.
+        """
+        total = None
+        for u, v in zip(self._norm_flat_taps(imgs_a), self._norm_flat_taps(imgs_b)):
+            a2 = jnp.sum(u * u, axis=1)  # [B_a]
+            b2 = jnp.sum(v * v, axis=1)  # [B_b]
+            d = a2[:, None] + b2[None, :] - 2.0 * (u @ v.T)
+            total = d if total is None else total + d
+        return np.asarray(jnp.maximum(total, 0.0))

@@ -238,6 +238,67 @@ class TestFSDP:
         assert np.isfinite(losses).all()
 
 
+class TestMeshDeviceEpoch:
+    """The device-resident epoch scan under a mesh (round-3 fix: round 2
+    silently fell back to the ~4x-slower per-step host loop whenever a mesh
+    was passed, models/base_flow.py:745-754 at r2)."""
+
+    def test_mesh_epoch_matches_single_device(self, eight_devices):
+        from rectified_flow_vision_tpu.data import ArrayDataset
+        from rectified_flow_vision_tpu.models import train_base_flow
+
+        imgs = np.random.RandomState(5).randn(24, 8, 8, 3).astype(np.float32)
+        runs = {}
+        for name, mesh in [("single", None), ("dp8", mesh_lib.create_mesh())]:
+            m = _tiny(seed=4)
+            runs[name] = train_base_flow(
+                m, ArrayDataset(imgs), epochs=3, lr=1e-3, batch_size=8,
+                mesh=mesh, device_epoch=True, progress=False,
+            )
+        # same permutations + RNG streams; only sharded-reduction ordering
+        # noise may differ
+        np.testing.assert_allclose(
+            runs["single"], runs["dp8"], rtol=2e-3, atol=1e-4
+        )
+
+    def test_mesh_epoch_fsdp(self, eight_devices):
+        from rectified_flow_vision_tpu.data import ArrayDataset
+        from rectified_flow_vision_tpu.models import train_base_flow
+
+        imgs = np.random.RandomState(6).randn(16, 8, 8, 3).astype(np.float32)
+        m = _tiny(seed=7)
+        losses = train_base_flow(
+            m, ArrayDataset(imgs), epochs=2, lr=1e-3, batch_size=8,
+            mesh=mesh_lib.create_mesh(), fsdp=True, device_epoch=True,
+            progress=False,
+        )
+        assert len(losses) == 2 and np.isfinite(losses).all()
+
+    def test_rectified_mesh_epoch_matches_single(self, eight_devices):
+        from rectified_flow_vision_tpu.models import (
+            RectifiedFlowModel,
+            train_rectified_flow,
+        )
+
+        rs = np.random.RandomState(8)
+        x0 = rs.randn(16, 8, 8, 3).astype(np.float32)
+        x1 = rs.randn(16, 8, 8, 3).astype(np.float32)
+        runs = {}
+        for name, mesh in [("single", None), ("dp8", mesh_lib.create_mesh())]:
+            m = RectifiedFlowModel(
+                image_size=8, model_channels=16, channel_mult=[1, 2],
+                num_res_blocks=1, sample_dtype="float32", seed=9,
+            )
+            runs[name] = train_rectified_flow(
+                m, x0, x1, epochs=2, batch_size=8, lr=1e-3,
+                data_format="NHWC", mesh=mesh, device_epoch=True,
+                progress=False,
+            )
+        np.testing.assert_allclose(
+            runs["single"], runs["dp8"], rtol=2e-3, atol=1e-4
+        )
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_inprocess(self, eight_devices):
         import __graft_entry__ as g

@@ -16,6 +16,153 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
+def bench_loaders(args) -> None:
+    """A/B the host batch pipelines: Python batches vs the C++ prefetching
+    loader (csrc/databatch.cpp) feeding the SAME jitted train step, plus
+    the device-resident epoch scan as the ceiling. One JSON line each."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from rectified_flow_vision_tpu.data import ImageDataset
+    from rectified_flow_vision_tpu.models import BaseFlowModel
+    from rectified_flow_vision_tpu.models.base_flow import (
+        make_optimizer,
+        make_train_epoch,
+        make_train_step,
+    )
+    from rectified_flow_vision_tpu.utils.download_data import (
+        generate_synthetic_images,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="rfv_loader_bench_")
+    generate_synthetic_images(tmp, args.corpus, args.size)
+    ds = ImageDataset(tmp, args.size)
+    steps = ds.num_batches(args.batch)
+
+    model = BaseFlowModel(image_size=args.size, compute_dtype=args.dtype)
+    tx = make_optimizer(1e-4, 10, steps)
+
+    def run(batches_per_epoch, label):
+        params, opt = model.params, tx.init(model.params)
+        step = make_train_step(model, tx, coupled=False)
+        # warmup epoch compiles + fills the prefetch ring
+        for i, b in enumerate(batches_per_epoch(0)):
+            params, opt, loss = step(params, opt, jnp.asarray(b), jax.random.key(i))
+        float(loss)
+        t0 = time.perf_counter()
+        for e in range(1, args.epochs + 1):
+            for i, b in enumerate(batches_per_epoch(e)):
+                params, opt, loss = step(
+                    params, opt, jnp.asarray(b), jax.random.key(e * 1000 + i)
+                )
+        float(loss)  # sync the chain
+        dt = (time.perf_counter() - t0) / args.epochs
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_img_per_sec_{label}_{args.size}x{args.size}_b{args.batch}",
+                    "value": round(steps * args.batch / dt, 1),
+                    "unit": "images/sec/chip",
+                    "ms_per_step": round(dt / steps * 1000, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    run(lambda e: ds.batches(args.batch, seed=e), "python_loop")
+    native = ds.native_loader(args.batch, seed=0)
+    if native is None:
+        print(json.dumps({"metric": "native_loader", "value": None,
+                          "note": "lib not built"}))
+    else:
+        run(lambda e: native.epoch(e), "native_loop")
+
+    # ceiling: the device-resident epoch scan over the same corpus
+    params, opt = model.params, tx.init(model.params)
+    train_epoch = make_train_epoch(model, tx, coupled=False)
+    corpus = jnp.asarray(ds.images)
+    rng = np.random.default_rng(0)
+    perm = jnp.asarray(
+        rng.permutation(len(ds))[: steps * args.batch].reshape(steps, args.batch),
+        dtype=jnp.int32,
+    )
+    ema = None
+    params, ema, opt, losses = train_epoch(params, ema, opt, corpus, perm, jax.random.key(0))
+    float(losses[-1])
+    t0 = time.perf_counter()
+    for e in range(args.epochs):
+        params, ema, opt, losses = train_epoch(
+            params, ema, opt, corpus, perm, jax.random.key(e + 1)
+        )
+    float(losses[-1])
+    dt = (time.perf_counter() - t0) / args.epochs
+    print(
+        json.dumps(
+            {
+                "metric": f"train_img_per_sec_device_epoch_{args.size}x{args.size}_b{args.batch}",
+                "value": round(steps * args.batch / dt, 1),
+                "unit": "images/sec/chip",
+                "ms_per_step": round(dt / steps * 1000, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_mesh(args) -> None:
+    """Device-epoch scan WITH a mesh vs without: the round-3 fix makes
+    mesh training keep the one-dispatch-per-epoch path (round 2 fell back
+    to the per-step host loop under any mesh). On a single chip the mesh
+    is 1x1 — the delta is pure partitioner overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectified_flow_vision_tpu.data import ArrayDataset
+    from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
+    from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(-1, 1, (args.corpus, args.size, args.size, 3)).astype(
+        np.float32
+    )
+
+    for label, mesh in [("single", None), ("mesh1x1", mesh_lib.create_mesh())]:
+        model = BaseFlowModel(image_size=args.size, compute_dtype=args.dtype)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        train_base_flow(
+            model, ArrayDataset(imgs), epochs=1, lr=1e-4,
+            batch_size=args.batch, mesh=mesh, device_epoch=True,
+            progress=False,
+        )
+        # second call reuses nothing (fresh closures) — time epochs inside
+        # one trainer call instead: epochs+1 with the first as warmup is
+        # approximated by subtracting the 1-epoch (compile-heavy) run
+        t_compile = _t.perf_counter() - t0
+        model2 = BaseFlowModel(image_size=args.size, compute_dtype=args.dtype)
+        t0 = _t.perf_counter()
+        train_base_flow(
+            model2, ArrayDataset(imgs), epochs=args.epochs + 1, lr=1e-4,
+            batch_size=args.batch, mesh=mesh, device_epoch=True,
+            progress=False,
+        )
+        total = _t.perf_counter() - t0
+        per_epoch = (total - t_compile) / args.epochs
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_img_per_sec_device_epoch_{label}",
+                    "value": round(args.corpus / per_epoch, 1),
+                    "unit": "images/sec/chip",
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
@@ -23,7 +170,19 @@ def main() -> None:
     p.add_argument("--corpus", type=int, default=2048)
     p.add_argument("--epochs", type=int, default=3, help="timed epochs")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--mode", choices=["epoch", "loaders", "mesh"], default="epoch",
+        help="epoch: device-epoch throughput (headline); loaders: python "
+        "vs native C++ host pipelines A/B; mesh: mesh vs single device-epoch",
+    )
     args = p.parse_args()
+
+    if args.mode == "loaders":
+        bench_loaders(args)
+        return
+    if args.mode == "mesh":
+        bench_mesh(args)
+        return
 
     import jax
 
