@@ -172,15 +172,14 @@ def generate_reflow_pairs(
         x1 = teacher_model.sample(
             noise=x0, num_steps=num_steps, data_format="NHWC", method=method
         )
-        x0_list.append(x0)
-        x1_list.append(x1)
+        # sync per batch: bounds in-flight device work to one rollout (an
+        # unbounded enqueue of ~40 multi-second sampler executions can wedge
+        # remote-execution tunnels) and bounds host memory to 2 batches
+        x0_list.append(np.asarray(jax.device_get(x0)))
+        x1_list.append(np.asarray(jax.device_get(x1)))
 
-    x0_all = np.concatenate([np.asarray(jax.device_get(x)) for x in x0_list])[
-        :num_pairs
-    ]
-    x1_all = np.concatenate([np.asarray(jax.device_get(x)) for x in x1_list])[
-        :num_pairs
-    ]
+    x0_all = np.concatenate(x0_list)[:num_pairs]
+    x1_all = np.concatenate(x1_list)[:num_pairs]
     log.info("Generated %d pairs", x0_all.shape[0])
 
     if data_format.upper() == "NCHW":
