@@ -199,15 +199,28 @@ def load_config(path: Optional[os.PathLike | str] = None) -> Config:
 
 
 def quick_overlay(cfg: Config) -> Config:
-    """Apply the --quick demo overlay (reference: main.py:44-61)."""
+    """Apply the --quick demo overlay (reference: main.py:44-61).
+
+    Unlike the reference, the quick demo writes its checkpoints/results
+    under ``*/quick`` subdirectories: sharing the production paths means a
+    5-epoch demo run silently overwrites a fully-trained flagship
+    ``base_flow_final.npz`` (this happened; the reference has the same
+    hazard and we do not reproduce it).
+    """
     cfg.data.num_mock_images = 50
     cfg.training_base.epochs = 5
     cfg.training_base.batch_size = 8
     cfg.training_rectified.epochs = 3
     cfg.training_rectified.num_reflow_iterations = 1
+    # the flagship's tuned 20k-pair recipe is minutes of teacher rollouts;
+    # the quick demo wants seconds
+    cfg.training_rectified.num_pairs = 500
     cfg.benchmark.num_samples = 10
     cfg.benchmark.steps_to_test = [1, 4, 16, 64]
     cfg.benchmark.num_runs = 2
+    cfg.paths.checkpoints = str(Path(cfg.paths.checkpoints) / "quick")
+    cfg.paths.results = str(Path(cfg.paths.results) / "quick")
+    cfg.paths.figures = str(Path(cfg.paths.figures) / "quick")
     return cfg
 
 
