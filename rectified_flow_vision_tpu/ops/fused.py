@@ -109,6 +109,63 @@ def gn_silu(
 
 
 # ---------------------------------------------------------------------------
+# Direct 3x3 convolution (Pallas) — the sampler's MXU-occupancy fix
+# ---------------------------------------------------------------------------
+#
+# XLA's conv lowering measures ~21 TFLOP/s on the UNet's 64-channel 3x3
+# convs (docs/DESIGN.md): 64-wide channels leave the 128-wide MXU
+# half-empty. ops/conv_pallas.py keeps the im2col repack in VMEM so the
+# MXU sees a K=9*Cin contraction. Forward kernel + XLA VJP, same pattern
+# as gn_silu above.
+
+
+@jax.custom_vjp
+def _conv3x3_pallas(x: Array, w: Array, b: Array) -> Array:
+    from rectified_flow_vision_tpu.ops import conv_pallas as C
+
+    return C.conv3x3(x, w, b)
+
+
+def _conv3x3_fwd(x, w, b):
+    return _conv3x3_pallas(x, w, b), (x, w)
+
+
+def _conv3x3_bwd(res, g):
+    x, w = res
+    b0 = jax.numpy.zeros((w.shape[-1],), jax.numpy.float32)
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_: P.conv2d(x_, {"w": w_, "b": b_}), x, w, b0
+    )
+    return vjp(g)
+
+
+_conv3x3_pallas.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+def conv2d_fused(
+    x: Array, p: dict, *, stride: int = 1, use_pallas: bool = False
+) -> Array:
+    """NHWC conv: Pallas direct kernel on supported hot shapes, XLA else.
+
+    Numerically equivalent to ``P.conv2d`` (tests/test_conv_pallas.py).
+    Not mesh-aware: GSPMD has no partitioning rule for pallas_call, so
+    mesh training/sampling passes ``use_pallas=False`` (as with the other
+    forward kernels).
+    """
+    if use_pallas:
+        from rectified_flow_vision_tpu.ops import conv_pallas as C
+        from rectified_flow_vision_tpu.ops import pallas_kernels as K
+
+        if (pallas_available() or K._INTERPRET) and C.supports(
+            x.shape, p["w"].shape, stride
+        ):
+            w = p["w"].astype(x.dtype)
+            b = p["b"].astype(jax.numpy.float32)
+            return _conv3x3_pallas(x, w, b)
+    return P.conv2d(x, p, stride=stride)
+
+
+# ---------------------------------------------------------------------------
 # Spatial self-attention
 # ---------------------------------------------------------------------------
 

@@ -26,6 +26,13 @@ def structural_similarity(
 ) -> float:
     if im1.shape != im2.shape:
         raise ValueError("Images must have the same size")
+    # skimage raises on batched input too; without this, the edge crop
+    # empties a small leading dim and the mean silently returns NaN.
+    if im1.ndim - (0 if channel_axis is None else 1) > 2:
+        raise ValueError(
+            "structural_similarity expects one [H, W] or [H, W, C] image, "
+            f"got shape {im1.shape}; loop over the batch instead"
+        )
 
     if channel_axis is not None:
         n_ch = im1.shape[channel_axis]
