@@ -26,6 +26,74 @@ sys.path.insert(0, str(Path(__file__).parent))
 BASELINE_IMG_PER_SEC_4STEP = 3.6635  # reference results/benchmark_results.csv:4
 
 
+class _PauseBackgroundRuns:
+    """SIGSTOP any live background artifact-queue workers while timing.
+
+    The driver may invoke bench.py while a long training queue
+    (tools/queue_r3.sh, pidfile /tmp/queue_r3.pid) still owns the single
+    TPU chip; timesharing would distort the headline number. Processes are
+    found by walking exact child PIDs from the recorded queue PID (never
+    by name pattern) and are SIGCONT'd on exit. RFV_BENCH_NO_PAUSE=1
+    disables this.
+    """
+
+    PIDFILES = ("/tmp/queue_r3.pid",)
+
+    def __init__(self) -> None:
+        self.paused: list[int] = []
+
+    @staticmethod
+    def _descendants(root: int) -> list[int]:
+        import os
+
+        kids: dict[int, list[int]] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    ppid = int(f.read().split(")")[-1].split()[1])
+            except (OSError, ValueError, IndexError):
+                continue
+            kids.setdefault(ppid, []).append(int(entry))
+        out, stack = [], [root]
+        while stack:
+            pid = stack.pop()
+            out.append(pid)
+            stack.extend(kids.get(pid, []))
+        return out
+
+    def __enter__(self):
+        import os
+        import signal
+
+        if os.environ.get("RFV_BENCH_NO_PAUSE"):
+            return self
+        for pidfile in self.PIDFILES:
+            try:
+                root = int(Path(pidfile).read_text().strip())
+            except (OSError, ValueError):
+                continue
+            for pid in self._descendants(root):
+                try:
+                    os.kill(pid, signal.SIGSTOP)
+                    self.paused.append(pid)
+                except (ProcessLookupError, PermissionError):
+                    pass
+        return self
+
+    def __exit__(self, *exc):
+        import os
+        import signal
+
+        for pid in reversed(self.paused):
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except (ProcessLookupError, PermissionError):
+                pass
+        return False
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -36,6 +104,8 @@ def main() -> None:
     num_steps = 4
     batch = 256 if jax.default_backend() == "tpu" else 16
     num_runs = 5
+
+    pause = _PauseBackgroundRuns().__enter__()
 
     model = BaseFlowModel(image_size=image_size)  # default = reference config
 
@@ -59,6 +129,8 @@ def main() -> None:
             x = sampler(model.params, x)
         float(jnp.sum(x))  # sync
         times.append((time.perf_counter() - t0) / chain)
+
+    pause.__exit__()
 
     best = min(times)
     img_per_sec = batch / best
