@@ -21,7 +21,8 @@ run_cfg() {
   stage "$cfg committed"
 }
 
-for cfg in cifar32q dit256 cifar32 imagenet64; do
+# cifar32q regenerated + committed 2026-08-17; remaining configs below.
+for cfg in dit256 cifar32 imagenet64; do
   run_cfg "$cfg"
   rc=$?; stage "$cfg done rc=$rc"; [ $rc -ne 0 ] && exit $rc
 done
