@@ -102,7 +102,7 @@ def _resblock_apply(
     silu(gn(h)))); return h + shortcut(x). (reference: models/unet.py:55-64)
     """
     h = F.gn_silu(x, p["norm1"], num_groups=cfg.num_groups, use_pallas=use_pallas)
-    h = P.conv2d(h, p["conv1"])
+    h = F.conv2d_fused(h, p["conv1"])
 
     t_bias = P.dense(P.silu(t_emb), p["time"])
     h = h + t_bias[:, None, None, :].astype(h.dtype)
@@ -116,7 +116,7 @@ def _resblock_apply(
         num_groups=cfg.num_groups, use_pallas=use_pallas,
         pallas_dropout=pallas_dropout, mesh=pallas_mesh,
     )
-    h = P.conv2d(h, p["conv2"])
+    h = F.conv2d_fused(h, p["conv2"])
 
     shortcut = P.conv2d(x, p["shortcut"]) if "shortcut" in p else x
     return h + shortcut
@@ -306,7 +306,7 @@ class UNet:
                 h = res(params["dec_blocks"][f"{level}_{i}"], h)
             if level > 0:
                 h = P.upsample_nearest_2x(h)
-                h = P.conv2d(h, params["upsamples"][str(level)])
+                h = F.conv2d_fused(h, params["upsamples"][str(level)])
 
         # Output head
         h = F.gn_silu(

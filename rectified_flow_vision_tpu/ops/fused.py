@@ -151,7 +151,15 @@ def conv2d_fused(
     Not mesh-aware: GSPMD has no partitioning rule for pallas_call, so
     mesh training/sampling passes ``use_pallas=False`` (as with the other
     forward kernels).
+
+    RFV_CONV_PALLAS=1 force-enables the kernel on supported shapes
+    (single-chip A/B experiments only; kernel variant selected by
+    RFV_CONV_VARIANT, see ops/conv_pallas.conv3x3).
     """
+    import os
+
+    if os.environ.get("RFV_CONV_PALLAS"):
+        use_pallas = True
     if use_pallas:
         from rectified_flow_vision_tpu.ops import conv_pallas as C
         from rectified_flow_vision_tpu.ops import pallas_kernels as K

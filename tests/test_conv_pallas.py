@@ -49,6 +49,21 @@ class TestConv3x3:
             np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.parametrize(
+        "variant", ["patch", "taps", "packed", "image", "imagepacked"]
+    )
+    @pytest.mark.parametrize("shape,cout", [((2, 16, 8, 64), 64),
+                                            ((1, 8, 16, 128), 128)])
+    def test_variants_match_xla(self, shape, cout, variant):
+        """All five kernel strategies (docs/DESIGN.md A/B table) compute
+        the same conv."""
+        x, w, b = _mk(shape, (3, 3, shape[-1], cout))
+        ref = P.conv2d(x, {"w": w, "b": b})
+        out = CP.conv3x3(x, w, b, variant=variant)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4
+        )
+
     def test_bf16_io(self):
         x, w, b = _mk((2, 8, 8, 64), (3, 3, 64, 64))
         out = CP.conv3x3(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b)
