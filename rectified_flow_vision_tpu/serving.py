@@ -155,7 +155,10 @@ class SamplerService:
                 out = self._decode(out)
             outs.append(out)
             remaining -= self.batch_size
-        result = jnp.concatenate(outs)[:n]
+        # generate()'s contract (module docstring) is images in [-1, 1]; the
+        # latent path clips inside _decode, the pixel-space sampler can
+        # slightly overshoot — clip here so both paths honour it.
+        result = jnp.clip(jnp.concatenate(outs)[:n], -1.0, 1.0)
         return np.asarray(jax.device_get(_from_nhwc(result, data_format)))
 
     def throughput(self, num_steps: int, iters: int = 8) -> float:
