@@ -30,14 +30,16 @@ class _PauseBackgroundRuns:
     """SIGSTOP any live background artifact-queue workers while timing.
 
     The driver may invoke bench.py while a long training queue
-    (tools/queue_r3.sh, pidfile /tmp/queue_r3.pid) still owns the single
+    (tools/queue_r3*.sh, pidfiles /tmp/queue_*.pid) still owns the single
     TPU chip; timesharing would distort the headline number. Processes are
-    found by walking exact child PIDs from the recorded queue PID (never
+    found by walking exact child PIDs from the recorded queue PIDs (never
     by name pattern) and are SIGCONT'd on exit. RFV_BENCH_NO_PAUSE=1
     disables this.
     """
 
-    PIDFILES = ("/tmp/queue_r3.pid",)
+    @property
+    def PIDFILES(self):
+        return sorted(str(p) for p in Path("/tmp").glob("queue_*.pid"))
 
     def __init__(self) -> None:
         self.paused: list[int] = []
@@ -95,6 +97,8 @@ class _PauseBackgroundRuns:
 
 
 def main() -> None:
+    import signal
+
     import jax
     import jax.numpy as jnp
 
@@ -105,32 +109,35 @@ def main() -> None:
     batch = 256 if jax.default_backend() == "tpu" else 16
     num_runs = 5
 
-    pause = _PauseBackgroundRuns().__enter__()
+    # SIGTERM (e.g. `timeout`) must still run the finally block below, or a
+    # paused background queue would stay SIGSTOPped forever.
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
-    model = BaseFlowModel(image_size=image_size)  # default = reference config
+    with _PauseBackgroundRuns():
+        model = BaseFlowModel(image_size=image_size)  # default = ref config
 
-    key = jax.random.key(0)
-    noise = jax.random.normal(key, (batch, image_size, image_size, 3), jnp.float32)
-    sampler = model._get_sampler(num_steps, False, model.sample_dtype)
+        key = jax.random.key(0)
+        noise = jax.random.normal(
+            key, (batch, image_size, image_size, 3), jnp.float32
+        )
+        sampler = model._get_sampler(num_steps, False, model.sample_dtype)
 
-    # Warmup: compile the scan executable; scalar fetch forces completion
-    # (under remote-execution tunnels block_until_ready can return before
-    # the device finishes, so all timing here closes over a dependency
-    # chain ended by a scalar readback).
-    x = sampler(model.params, noise)
-    float(jnp.sum(x))
+        # Warmup: compile the scan executable; scalar fetch forces
+        # completion (under remote-execution tunnels block_until_ready can
+        # return before the device finishes, so all timing here closes over
+        # a dependency chain ended by a scalar readback).
+        x = sampler(model.params, noise)
+        float(jnp.sum(x))
 
-    chain = 8  # iterations per timed window, output feeding next input
-    times = []
-    for _ in range(num_runs):
-        t0 = time.perf_counter()
-        x = noise
-        for _ in range(chain):
-            x = sampler(model.params, x)
-        float(jnp.sum(x))  # sync
-        times.append((time.perf_counter() - t0) / chain)
-
-    pause.__exit__()
+        chain = 8  # iterations per timed window, output feeding next input
+        times = []
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            x = noise
+            for _ in range(chain):
+                x = sampler(model.params, x)
+            float(jnp.sum(x))  # sync
+            times.append((time.perf_counter() - t0) / chain)
 
     best = min(times)
     img_per_sec = batch / best
