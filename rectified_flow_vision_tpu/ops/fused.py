@@ -155,6 +155,7 @@ def conv2d_fused(
     RFV_CONV_PALLAS=1 force-enables the kernel on supported shapes
     (single-chip A/B experiments only; kernel variant selected by
     RFV_CONV_VARIANT, see ops/conv_pallas.conv3x3).
+
     """
     import os
 
@@ -279,6 +280,8 @@ def _gn_silu_dropout_sharded(x, scale, bias, seed, rate, num_groups, mesh, axis)
     across devices; the folded seed is the VJP residual, so the backward
     regenerates the exact same per-shard mask.
     """
+    import inspect
+
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -292,11 +295,19 @@ def _gn_silu_dropout_sharded(x, scale, bias, seed, rate, num_groups, mesh, axis)
         )
 
     spec = PS(axis, None, None, None)
+    kwargs = {}
+    # jax>=0.8 traces shard_map bodies with varying-manual-axes checking,
+    # which pallas_call's ShapeDtypeStruct outputs don't annotate — the
+    # output placement is already stated explicitly by out_specs, so the
+    # vma inference adds nothing here and must be disabled.
+    if "check_vma" in inspect.signature(shard_map).parameters:
+        kwargs["check_vma"] = False
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(spec, PS(None), PS(None), PS(None)),
         out_specs=spec,
+        **kwargs,
     )(x, scale, bias, seed)
 
 

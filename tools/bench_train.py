@@ -45,7 +45,10 @@ def bench_loaders(args) -> None:
     tx = make_optimizer(1e-4, 10, steps)
 
     def run(batches_per_epoch, label):
-        params, opt = model.params, tx.init(model.params)
+        # fresh buffers each run: the jitted step donates params/opt, so
+        # reusing model.params across runs would hit deleted arrays
+        params = jax.tree_util.tree_map(jnp.array, model.params)
+        opt = tx.init(params)
         step = make_train_step(model, tx, coupled=False)
         # warmup epoch compiles + fills the prefetch ring
         for i, b in enumerate(batches_per_epoch(0)):
@@ -80,7 +83,8 @@ def bench_loaders(args) -> None:
         run(lambda e: native.epoch(e), "native_loop")
 
     # ceiling: the device-resident epoch scan over the same corpus
-    params, opt = model.params, tx.init(model.params)
+    params = jax.tree_util.tree_map(jnp.array, model.params)
+    opt = tx.init(params)
     train_epoch = make_train_epoch(model, tx, coupled=False)
     corpus = jnp.asarray(ds.images)
     rng = np.random.default_rng(0)
@@ -115,48 +119,74 @@ def bench_mesh(args) -> None:
     """Device-epoch scan WITH a mesh vs without: the round-3 fix makes
     mesh training keep the one-dispatch-per-epoch path (round 2 fell back
     to the per-step host loop under any mesh). On a single chip the mesh
-    is 1x1 — the delta is pure partitioner overhead."""
+    is 1x1 — the delta is pure partitioner overhead. Timed on the
+    low-level make_train_epoch (warmup epoch, then timed epochs) with the
+    same placement as train_base_flow, so compile time never pollutes the
+    measurement."""
     import jax
     import jax.numpy as jnp
 
-    from rectified_flow_vision_tpu.data import ArrayDataset
-    from rectified_flow_vision_tpu.models import BaseFlowModel, train_base_flow
+    from rectified_flow_vision_tpu.models import BaseFlowModel
+    from rectified_flow_vision_tpu.models.base_flow import (
+        _pallas_mesh_gate,
+        make_optimizer,
+        make_train_epoch,
+    )
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
     rng = np.random.default_rng(0)
     imgs = rng.uniform(-1, 1, (args.corpus, args.size, args.size, 3)).astype(
         np.float32
     )
+    steps = args.corpus // args.batch
+    perm_host = rng.permutation(args.corpus)[: steps * args.batch].reshape(
+        steps, args.batch
+    )
 
     for label, mesh in [("single", None), ("mesh1x1", mesh_lib.create_mesh())]:
         model = BaseFlowModel(image_size=args.size, compute_dtype=args.dtype)
-        import time as _t
+        tx = make_optimizer(1e-4, args.epochs + 1, steps)
+        pallas_dropout, pallas_mesh = _pallas_mesh_gate(mesh)
+        train_epoch = make_train_epoch(
+            model, tx, coupled=False, pallas_dropout=pallas_dropout,
+            mesh=mesh, pallas_mesh=pallas_mesh,
+        )
+        params = jax.tree_util.tree_map(jnp.array, model.params)
+        opt = tx.init(params)
+        params, opt = mesh_lib.place_train_state(mesh, params, opt)
+        corpus = jnp.asarray(imgs)
+        perm = jnp.asarray(perm_host, dtype=jnp.int32)
+        if mesh is not None:
+            corpus = jax.device_put(corpus, mesh_lib.replicated(mesh))
+            perm = jax.device_put(perm, mesh_lib.replicated(mesh))
 
-        t0 = _t.perf_counter()
-        train_base_flow(
-            model, ArrayDataset(imgs), epochs=1, lr=1e-4,
-            batch_size=args.batch, mesh=mesh, device_epoch=True,
-            progress=False,
+        def key(e):
+            k = jax.random.key(e)
+            return (
+                jax.device_put(k, mesh_lib.replicated(mesh))
+                if mesh is not None
+                else k
+            )
+
+        ema = None
+        params, ema, opt, losses = train_epoch(
+            params, ema, opt, corpus, perm, key(0)
         )
-        # second call reuses nothing (fresh closures) — time epochs inside
-        # one trainer call instead: epochs+1 with the first as warmup is
-        # approximated by subtracting the 1-epoch (compile-heavy) run
-        t_compile = _t.perf_counter() - t0
-        model2 = BaseFlowModel(image_size=args.size, compute_dtype=args.dtype)
-        t0 = _t.perf_counter()
-        train_base_flow(
-            model2, ArrayDataset(imgs), epochs=args.epochs + 1, lr=1e-4,
-            batch_size=args.batch, mesh=mesh, device_epoch=True,
-            progress=False,
-        )
-        total = _t.perf_counter() - t0
-        per_epoch = (total - t_compile) / args.epochs
+        float(losses[-1])  # warmup epoch: compile + first run
+        t0 = time.perf_counter()
+        for e in range(args.epochs):
+            params, ema, opt, losses = train_epoch(
+                params, ema, opt, corpus, perm, key(e + 1)
+            )
+        float(losses[-1])
+        per_epoch = (time.perf_counter() - t0) / args.epochs
         print(
             json.dumps(
                 {
                     "metric": f"train_img_per_sec_device_epoch_{label}",
-                    "value": round(args.corpus / per_epoch, 1),
+                    "value": round(steps * args.batch / per_epoch, 1),
                     "unit": "images/sec/chip",
+                    "ms_per_step": round(per_epoch / steps * 1000, 2),
                 }
             ),
             flush=True,
