@@ -156,9 +156,22 @@ def conv2d_fused(
     (single-chip A/B experiments only; kernel variant selected by
     RFV_CONV_VARIANT, see ops/conv_pallas.conv3x3).
 
+    RFV_CONV_WINOGRAD=1 routes qualifying 3x3/stride-1 convs through the
+    Winograd F(2x2,3x3) path (ops/winograd.py) — pure XLA einsums, so it
+    is mesh-safe, but gated for A/B until measured (tools/bench_winograd).
     """
     import os
 
+    if (
+        os.environ.get("RFV_CONV_WINOGRAD")
+        and stride == 1
+        and p["w"].shape[:2] == (3, 3)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        from rectified_flow_vision_tpu.ops.winograd import conv2d_winograd
+
+        return conv2d_winograd(x, p)
     if os.environ.get("RFV_CONV_PALLAS"):
         use_pallas = True
     if use_pallas:
