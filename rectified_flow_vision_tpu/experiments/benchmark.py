@@ -212,6 +212,47 @@ def benchmark_quality(model, reference_images, num_steps: int, noise_shape=None)
     }
 
 
+def judge_quality_claim(quality_rows):
+    """Judge the reference's central claim on measured quality rows.
+
+    The reference prints its quality-match claim unconditionally
+    (reference: benchmark.py:287-306); here it must be SUPPORTED by the
+    measured rows: best few-step (<=4) rectified FID within 10% (or SSIM
+    within 0.02) of the many-step (>=64) base anchor. Judged on
+    learned-feature ``fid_deep`` when the backbone is available (the
+    production metric the reference's own comment points at, ref
+    utils/metrics.py:84-88), raw-pixel ``fid_simple`` otherwise.
+
+    Returns ``(claim_supported, fid_col, best_rect_row, anchor_row)``;
+    ``claim_supported`` is None when there is no quality data to judge
+    with (missing anchor or no few-step rectified rows).
+    """
+    anchor = next(
+        (
+            r for r in quality_rows
+            if r["model"] == "base" and r["num_steps"] >= 64
+        ),
+        None,
+    )
+    rect_few = [
+        r for r in quality_rows
+        if r["model"] == "rectified" and r["num_steps"] <= 4
+    ]
+    if not (anchor and rect_few):
+        return None, None, None, anchor
+    fid_col = (
+        "fid_deep"
+        if np.isfinite(anchor.get("fid_deep", float("nan")))
+        else "fid_simple"
+    )
+    best_rect = min(rect_few, key=lambda r: r[fid_col])
+    claim_supported = bool(
+        best_rect[fid_col] <= 1.10 * anchor[fid_col]
+        or best_rect["ssim_mean"] >= anchor["ssim_mean"] - 0.02
+    )
+    return claim_supported, fid_col, best_rect, anchor
+
+
 def _load_model(cls, cfg: Config, path: Path, name: str):
     from rectified_flow_vision_tpu.experiments.train_base import build_model
 
@@ -539,38 +580,19 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
 
     optimal = next((r for r in rect_results if r["num_steps"] <= 4), None)
     base_many = next((r for r in base_results if r["num_steps"] >= 64), None)
+    conclusion_lines = []  # mirrored into benchmark_report.txt below
+
+    def conclude(msg, *fmt_args):
+        log.info(msg, *fmt_args)
+        conclusion_lines.append(msg % fmt_args if fmt_args else msg)
+
     if optimal and base_many:
         total_speedup = base_many["time_per_image"] / optimal["time_per_image"]
-        # The reference prints its quality-match claim unconditionally
-        # (benchmark.py:287-306); here it must be SUPPORTED by the measured
-        # quality rows: best few-step rectified FID within 10% (or SSIM
-        # within 0.02) of the many-step base anchor. Judged on learned-
-        # feature fid_deep when the backbone is available (the production
-        # metric, ref utils/metrics.py:84-88), raw-pixel fid_simple
-        # otherwise.
-        claim_supported = None  # None = no quality data to judge with
-        anchor = next(
-            (
-                r for r in quality_rows
-                if r["model"] == "base" and r["num_steps"] >= 64
-            ),
-            None,
+        claim_supported, fid_col, best_rect, anchor = judge_quality_claim(
+            quality_rows
         )
-        rect_few = [
-            r for r in quality_rows
-            if r["model"] == "rectified" and r["num_steps"] <= 4
-        ]
-        if anchor and rect_few:
-            fid_col = (
-                "fid_deep"
-                if np.isfinite(anchor.get("fid_deep", float("nan")))
-                else "fid_simple"
-            )
-            best_rect = min(rect_few, key=lambda r: r[fid_col])
-            claim_supported = best_rect[fid_col] <= 1.10 * anchor[
-                fid_col
-            ] or best_rect["ssim_mean"] >= anchor["ssim_mean"] - 0.02
-            log.info(
+        if anchor and best_rect:
+            conclude(
                 "Measured quality (%s): rect@%d FID %.1f / SSIM %.3f vs "
                 "base@%d FID %.1f / SSIM %.3f",
                 fid_col, best_rect["num_steps"], best_rect[fid_col],
@@ -578,20 +600,20 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
                 anchor[fid_col], anchor["ssim_mean"],
             )
         if claim_supported:
-            log.info(
+            conclude(
                 "The RECTIFIED model with %d steps matches the quality of "
                 "the BASE model with %d+ steps (measured above).",
                 best_rect["num_steps"], anchor["num_steps"],
             )
-            log.info("Measured total speedup: %.1fx faster", total_speedup)
+            conclude("Measured total speedup: %.1fx faster", total_speedup)
         elif claim_supported is None:
-            log.info(
+            conclude(
                 "Per-step speedup at <=4 steps is %.1fx; no quality rows "
                 "were computed, so no quality-match claim is made.",
                 total_speedup,
             )
         else:
-            log.info(
+            conclude(
                 "Few-step rectified quality does NOT yet match the "
                 "many-step base on this run (see quality_results.csv); "
                 "the %.1fx step-count speedup is reported without a "
@@ -600,7 +622,20 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
             )
 
     best = max(r["images_per_second"] for r in rect_results if r["num_steps"] <= 4)
-    log.info("Peak few-step throughput: %.1f images/sec/chip", best)
+    conclude("Peak few-step throughput: %.1f images/sec/chip", best)
+
+    # Mirror the measured conclusions into the committed report artifact so
+    # the quality-claim verdict travels with the run, not just the log
+    # (the reference's report carries only the per-step speedup table,
+    # visualization.py:210-258).
+    report_path = results_dir / "benchmark_report.txt"
+    if report_path.exists() and conclusion_lines:
+        with open(report_path, "a") as f:
+            f.write("\nMEASURED QUALITY CONCLUSIONS\n")
+            f.write("-" * 40 + "\n")
+            for line in conclusion_lines:
+                f.write(line + "\n")
+
     log.info("All results in: %s", results_dir)
     return results_df
 
