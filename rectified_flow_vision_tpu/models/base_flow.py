@@ -687,11 +687,20 @@ DEVICE_EPOCH_MAX_BYTES = 2 * 1024**3
 def _pallas_mesh_gate(mesh):
     """(pallas_dropout, pallas_mesh) for a trainer's mesh: data-parallel
     meshes keep the fused kernel through shard_map, TP meshes force the
-    XLA chain, no mesh keeps the single-device auto gate."""
+    XLA chain, no mesh keeps the single-device auto gate.
+
+    A one-device mesh skips shard_map entirely: the wrapper is pure
+    overhead there (measured 21% on the device-epoch step, tools/
+    bench_train.py --mode mesh) and the plain kernel is trajectory-
+    identical — shard 0 folds ``axis_index=0`` into the seed."""
     if mesh is None:
         return None, None
+    import math
+
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
 
+    if math.prod(mesh.shape.values()) == 1:
+        return None, None
     if dict(mesh.shape).get(mesh_lib.MODEL_AXIS, 1) == 1:
         return None, mesh
     return False, None
