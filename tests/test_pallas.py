@@ -246,3 +246,52 @@ class TestPallasDropoutGate:
         )
         assert BaseFlowModel(use_pallas=False, **kw).pallas_dropout is False
         assert BaseFlowModel(use_pallas=None, **kw).pallas_dropout is None
+
+
+class TestShardedKernelTracing:
+    """The shard_map wrapper must stay traceable across jax upgrades.
+
+    jax 0.9's shard_map traces bodies with varying-manual-axes checking,
+    which rejected pallas_call's un-annotated ShapeDtypeStruct outputs
+    (ValueError: "vma ... must not be None") — a TPU-only runtime crash
+    the CPU suite never saw. jax.eval_shape reproduces the failure at
+    trace time on any backend, so this pins the fix (check_vma=False in
+    _gn_silu_dropout_sharded) without needing the hardware PRNG.
+    """
+
+    def test_sharded_gn_silu_dropout_traces(self):
+        from jax.sharding import Mesh
+
+        from rectified_flow_vision_tpu.ops import fused as F
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        x = jax.ShapeDtypeStruct((8, 8, 8, 32), jnp.float32)
+        vec = jax.ShapeDtypeStruct((32,), jnp.float32)
+        seed = jax.ShapeDtypeStruct((1,), jnp.int32)
+        out = jax.eval_shape(
+            lambda a, s, b, sd: F._gn_silu_dropout_sharded(
+                a, s, b, sd, 0.1, 8, mesh, "data"
+            ),
+            x, vec, vec, seed,
+        )
+        assert out.shape == x.shape and out.dtype == x.dtype
+
+    def test_sharded_gn_silu_dropout_traces_under_grad(self):
+        from jax.sharding import Mesh
+
+        from rectified_flow_vision_tpu.ops import fused as F
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        x = jax.ShapeDtypeStruct((4, 8, 8, 32), jnp.float32)
+        vec = jax.ShapeDtypeStruct((32,), jnp.float32)
+        seed = jax.ShapeDtypeStruct((1,), jnp.int32)
+
+        def loss(a, s, b, sd):
+            o = F._gn_silu_dropout_sharded(a, s, b, sd, 0.1, 8, mesh, "data")
+            return (o * o).sum()
+
+        grads = jax.eval_shape(
+            lambda a, s, b, sd: jax.grad(loss, argnums=(0, 1, 2))(a, s, b, sd),
+            x, vec, vec, seed,
+        )
+        assert grads[0].shape == x.shape and grads[1].shape == vec.shape
