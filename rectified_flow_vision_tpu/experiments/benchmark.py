@@ -267,10 +267,43 @@ def _load_model(cls, cfg: Config, path: Path, name: str):
             return model
     if path.exists():
         model.load(str(path))
+        model.untrained = False
         log.info("%s model loaded from checkpoint", name)
     else:
+        model.untrained = True
         log.warning("WARNING: Using untrained %s model", name)
     return model
+
+
+def guard_untrained_overwrite(untrained, results_dir, *, allow: bool):
+    """Refuse to clobber existing benchmark artifacts with untrained models.
+
+    Model checkpoints (.npz) are NOT tracked run evidence (too large; see
+    .gitignore), so after a fresh checkout the trained weights behind the
+    committed artifacts are gone. Without this guard a benchmark rerun on
+    such a tree silently regenerates every artifact from random weights —
+    base == rectified, noise-level metrics — and a careless commit
+    destroys good evidence. The reference warns and continues
+    (benchmark.py:52-60), which is safe only because its pipeline always
+    trains immediately before benchmarking.
+    """
+    if not untrained or allow:
+        return
+    existing = [
+        p.name
+        for p in (
+            results_dir / "quality_results.csv",
+            results_dir / "benchmark_results.csv",
+        )
+        if p.exists()
+    ]
+    if existing:
+        raise SystemExit(
+            f"Refusing to overwrite existing artifacts ({', '.join(existing)} "
+            f"in {results_dir}) with UNTRAINED model(s): "
+            f"{', '.join(untrained)}. Train first (experiments.train_base / "
+            "train_rectified) or set RFV_ALLOW_UNTRAINED=1 to proceed."
+        )
 
 
 def main(config: Optional[Config] = None) -> pd.DataFrame:
@@ -306,6 +339,17 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     rect_model = _load_model(
         RectifiedFlowModel, cfg, checkpoint_dir / "rectified_flow_k1_final.npz",
         "Rectified",
+    )
+    import os as _os
+
+    guard_untrained_overwrite(
+        [
+            name
+            for name, m in (("base", base_model), ("rectified", rect_model))
+            if getattr(m, "untrained", False)
+        ],
+        results_dir,
+        allow=bool(_os.environ.get("RFV_ALLOW_UNTRAINED")),
     )
 
     # latent pipeline: the flow models run at latent resolution; grids and
@@ -578,66 +622,102 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
     log.info("CONCLUSIONS")
     log.info("=" * 60)
 
+    write_conclusions(quality_rows, base_results, rect_results, results_dir)
+
+    log.info("All results in: %s", results_dir)
+    return results_df
+
+
+def conclusion_lines_for(quality_rows, base_results, rect_results):
+    """The measured-conclusions text for a run's (quality, timing) rows.
+
+    Pure: rows are plain dicts (num_steps / time_per_image /
+    images_per_second for timing; the quality CSV columns for quality), so
+    the same verdict can be re-derived offline from committed CSVs
+    (tools/append_conclusions.py)."""
     optimal = next((r for r in rect_results if r["num_steps"] <= 4), None)
     base_many = next((r for r in base_results if r["num_steps"] >= 64), None)
-    conclusion_lines = []  # mirrored into benchmark_report.txt below
+    # the quality verdict is judged on the quality rows alone; the timing
+    # sweep may stop short of the anchor step count (e.g. dit256 times
+    # 1-32 steps but anchors quality at base@64), in which case the claim
+    # is still judged and only the total-speedup figure is omitted
+    total_speedup = (
+        base_many["time_per_image"] / optimal["time_per_image"]
+        if optimal and base_many
+        else None
+    )
+    lines = []
 
     def conclude(msg, *fmt_args):
-        log.info(msg, *fmt_args)
-        conclusion_lines.append(msg % fmt_args if fmt_args else msg)
+        lines.append(msg % fmt_args if fmt_args else msg)
 
-    if optimal and base_many:
-        total_speedup = base_many["time_per_image"] / optimal["time_per_image"]
-        claim_supported, fid_col, best_rect, anchor = judge_quality_claim(
-            quality_rows
+    claim_supported, fid_col, best_rect, anchor = judge_quality_claim(
+        quality_rows
+    )
+    if anchor and best_rect:
+        conclude(
+            "Measured quality (%s): rect@%d FID %.1f / SSIM %.3f vs "
+            "base@%d FID %.1f / SSIM %.3f",
+            fid_col, best_rect["num_steps"], best_rect[fid_col],
+            best_rect["ssim_mean"], anchor["num_steps"],
+            anchor[fid_col], anchor["ssim_mean"],
         )
-        if anchor and best_rect:
-            conclude(
-                "Measured quality (%s): rect@%d FID %.1f / SSIM %.3f vs "
-                "base@%d FID %.1f / SSIM %.3f",
-                fid_col, best_rect["num_steps"], best_rect[fid_col],
-                best_rect["ssim_mean"], anchor["num_steps"],
-                anchor[fid_col], anchor["ssim_mean"],
-            )
-        if claim_supported:
-            conclude(
-                "The RECTIFIED model with %d steps matches the quality of "
-                "the BASE model with %d+ steps (measured above).",
-                best_rect["num_steps"], anchor["num_steps"],
-            )
+    if claim_supported:
+        conclude(
+            "The RECTIFIED model with %d steps matches the quality of "
+            "the BASE model with %d+ steps (measured above).",
+            best_rect["num_steps"], anchor["num_steps"],
+        )
+        if total_speedup is not None:
             conclude("Measured total speedup: %.1fx faster", total_speedup)
-        elif claim_supported is None:
+    elif claim_supported is None:
+        if total_speedup is not None:
             conclude(
                 "Per-step speedup at <=4 steps is %.1fx; no quality rows "
                 "were computed, so no quality-match claim is made.",
                 total_speedup,
             )
-        else:
-            conclude(
-                "Few-step rectified quality does NOT yet match the "
-                "many-step base on this run (see quality_results.csv); "
-                "the %.1fx step-count speedup is reported without a "
-                "quality-parity claim.",
-                total_speedup,
-            )
+    else:
+        conclude(
+            "Few-step rectified quality does NOT yet match the "
+            "many-step base on this run (see quality_results.csv)%s",
+            f"; the {total_speedup:.1f}x step-count speedup is reported "
+            "without a quality-parity claim."
+            if total_speedup is not None
+            else ".",
+        )
 
-    best = max(r["images_per_second"] for r in rect_results if r["num_steps"] <= 4)
-    conclude("Peak few-step throughput: %.1f images/sec/chip", best)
+    best = max(
+        (r["images_per_second"] for r in rect_results if r["num_steps"] <= 4),
+        default=None,
+    )
+    if best is not None:
+        conclude("Peak few-step throughput: %.1f images/sec/chip", best)
+    return lines
 
-    # Mirror the measured conclusions into the committed report artifact so
-    # the quality-claim verdict travels with the run, not just the log
-    # (the reference's report carries only the per-step speedup table,
-    # visualization.py:210-258).
+
+def write_conclusions(quality_rows, base_results, rect_results, results_dir):
+    """Log the measured conclusions and mirror them into the committed
+    report artifact so the quality-claim verdict travels with the run,
+    not just the log (the reference's report carries only the per-step
+    speedup table, visualization.py:210-258). Idempotent: an existing
+    section is replaced, not duplicated."""
+    lines = conclusion_lines_for(quality_rows, base_results, rect_results)
+    for line in lines:
+        log.info("%s", line)
     report_path = results_dir / "benchmark_report.txt"
-    if report_path.exists() and conclusion_lines:
-        with open(report_path, "a") as f:
-            f.write("\nMEASURED QUALITY CONCLUSIONS\n")
-            f.write("-" * 40 + "\n")
-            for line in conclusion_lines:
-                f.write(line + "\n")
-
-    log.info("All results in: %s", results_dir)
-    return results_df
+    if not (report_path.exists() and lines):
+        return
+    header = "MEASURED QUALITY CONCLUSIONS"
+    text = report_path.read_text()
+    if header in text:
+        text = text[: text.index("\n" + header)].rstrip("\n") + "\n"
+    with open(report_path, "w") as f:
+        f.write(text)
+        f.write("\n" + header + "\n")
+        f.write("-" * 40 + "\n")
+        for line in lines:
+            f.write(line + "\n")
 
 
 def _cli() -> None:

@@ -76,3 +76,81 @@ def test_no_judgement_without_anchor_or_few_step_rows():
     )
     assert supported is None and best is None
     assert anchor is not None and math.isfinite(anchor["fid_deep"])
+
+
+class TestUntrainedOverwriteGuard:
+    """Benchmark must not clobber committed artifacts with random weights
+    (model .npz checkpoints are untracked; a fresh checkout has none)."""
+
+    def _touch(self, d):
+        (d / "quality_results.csv").write_text("x")
+        (d / "benchmark_results.csv").write_text("x")
+
+    def test_raises_on_untrained_with_existing_artifacts(self, tmp_path):
+        from rectified_flow_vision_tpu.experiments.benchmark import (
+            guard_untrained_overwrite,
+        )
+
+        self._touch(tmp_path)
+        import pytest
+
+        with pytest.raises(SystemExit, match="UNTRAINED"):
+            guard_untrained_overwrite(["base"], tmp_path, allow=False)
+
+    def test_allows_when_trained_or_overridden_or_fresh(self, tmp_path):
+        from rectified_flow_vision_tpu.experiments.benchmark import (
+            guard_untrained_overwrite,
+        )
+
+        # trained models: fine even with artifacts present
+        self._touch(tmp_path)
+        guard_untrained_overwrite([], tmp_path, allow=False)
+        # explicit override
+        guard_untrained_overwrite(["base", "rectified"], tmp_path, allow=True)
+        # no artifacts to destroy (fresh results dir)
+        fresh = tmp_path / "fresh"
+        fresh.mkdir()
+        guard_untrained_overwrite(["base"], fresh, allow=False)
+
+
+def test_conclusions_quality_verdict_survives_short_timing_sweep():
+    """The timing sweep may stop short of the quality anchor's step count
+    (dit256 times 1-32 steps, anchors quality at base@64): the claim line
+    must still be emitted, only the total-speedup figure omitted."""
+    from rectified_flow_vision_tpu.experiments.benchmark import (
+        conclusion_lines_for,
+    )
+
+    quality = [
+        _row("base", 64, fid_deep=46.3, ssim=0.51),
+        _row("rectified", 4, fid_deep=15.6, ssim=0.31),
+    ]
+    timing = [
+        {"num_steps": s, "time_per_image": s * 1e-3, "images_per_second": 1000 / s}
+        for s in (1, 2, 4, 8, 16, 32)
+    ]
+    lines = conclusion_lines_for(quality, timing, timing)
+    joined = "\n".join(lines)
+    assert "matches the quality" in joined
+    assert "total speedup" not in joined
+    assert "Peak few-step throughput" in joined
+
+
+def test_conclusions_full_run_has_speedup():
+    from rectified_flow_vision_tpu.experiments.benchmark import (
+        conclusion_lines_for,
+    )
+
+    quality = [
+        _row("base", 100, fid_deep=13.9, ssim=0.47),
+        _row("rectified", 4, fid_deep=13.3, ssim=0.47),
+    ]
+    timing = [
+        {"num_steps": s, "time_per_image": s * 1e-3, "images_per_second": 1000 / s}
+        for s in (1, 2, 4, 8, 16, 32, 64, 100)
+    ]
+    lines = conclusion_lines_for(quality, timing, timing)
+    joined = "\n".join(lines)
+    assert "matches the quality" in joined
+    # speedup anchors at the FIRST >=64-step timing row (64) vs rect@1
+    assert "Measured total speedup: 64.0x faster" in joined

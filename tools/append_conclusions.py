@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Re-derive the MEASURED QUALITY CONCLUSIONS section for committed runs.
+
+The section is normally written by the benchmark harness at run time
+(experiments/benchmark.py:write_conclusions). Runs committed before that
+section existed have valid quality/timing CSVs but a report without the
+verdict — and regenerating them live is impossible on a fresh checkout
+because model .npz checkpoints are untracked (see .gitignore). This tool
+recomputes the verdict from the committed CSVs themselves (same
+judge_quality_claim / conclusion_lines_for code path) and rewrites the
+report section idempotently. It invents no numbers: every figure comes
+from the run's own measured rows.
+
+Usage: python tools/append_conclusions.py results/ results/cifar32 ...
+"""
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pandas as pd  # noqa: E402
+
+from rectified_flow_vision_tpu.experiments.benchmark import (  # noqa: E402
+    write_conclusions,
+)
+
+
+def rows_from_csvs(results_dir: Path):
+    q = pd.read_csv(results_dir / "quality_results.csv")
+    t = pd.read_csv(results_dir / "benchmark_results.csv")
+    quality_rows = []
+    for _, r in q.iterrows():
+        quality_rows.append(
+            {
+                "model": r["model"],
+                "num_steps": int(r["num_steps"]),
+                "ssim_mean": float(r["ssim_mean"]),
+                "fid_simple": float(r["fid_simple"]),
+                "fid_deep": float(r.get("fid_deep", math.nan)),
+            }
+        )
+    base_results, rect_results = [], []
+    for _, r in t.iterrows():
+        base_results.append(
+            {
+                "num_steps": int(r["num_steps"]),
+                "time_per_image": float(r["base_time_ms"]) / 1000.0,
+                "images_per_second": float(r["base_img_per_sec"]),
+            }
+        )
+        rect_results.append(
+            {
+                "num_steps": int(r["num_steps"]),
+                "time_per_image": float(r["rect_time_ms"]) / 1000.0,
+                "images_per_second": float(r["rect_img_per_sec"]),
+            }
+        )
+    return quality_rows, base_results, rect_results
+
+
+def main() -> None:
+    dirs = [Path(d) for d in sys.argv[1:]] or [Path("results")]
+    for d in dirs:
+        if not (d / "quality_results.csv").exists():
+            print(f"{d}: no quality_results.csv, skipped")
+            continue
+        quality_rows, base_results, rect_results = rows_from_csvs(d)
+        write_conclusions(quality_rows, base_results, rect_results, d)
+        print(f"{d}: conclusions section rewritten from committed CSVs")
+
+
+if __name__ == "__main__":
+    main()
