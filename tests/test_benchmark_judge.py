@@ -154,3 +154,36 @@ def test_conclusions_full_run_has_speedup():
     assert "matches the quality" in joined
     # speedup anchors at the FIRST >=64-step timing row (64) vs rect@1
     assert "Measured total speedup: 64.0x faster" in joined
+
+
+def test_claim_basis_distinguishes_fid_from_ssim_rescue():
+    """An SSIM-margin-only verdict must be qualified in the report text;
+    an FID-window verdict stays unqualified."""
+    from rectified_flow_vision_tpu.experiments.benchmark import (
+        conclusion_lines_for,
+        judge_quality_claim,
+    )
+
+    timing = [
+        {"num_steps": s, "time_per_image": s * 1e-3, "images_per_second": 1000 / s}
+        for s in (1, 4, 100)
+    ]
+    # FID within 10%: basis == fid, no qualifier
+    fid_rows = [
+        _row("base", 100, fid_deep=14.0, ssim=0.47),
+        _row("rectified", 4, fid_deep=13.3, ssim=0.47),
+    ]
+    _, _, best, _ = judge_quality_claim(fid_rows)
+    assert best["basis"] == "fid"
+    assert "(measured above)" in "\n".join(
+        conclusion_lines_for(fid_rows, timing, timing)
+    )
+    # SSIM rescue only: basis == ssim, qualified wording
+    ssim_rows = [
+        _row("base", 100, fid_deep=4.7, ssim=0.190),
+        _row("rectified", 1, fid_deep=7.5, ssim=0.176),
+    ]
+    _, _, best, _ = judge_quality_claim(ssim_rows)
+    assert best["basis"] == "ssim"
+    joined = "\n".join(conclusion_lines_for(ssim_rows, timing, timing))
+    assert "SSIM margin" in joined and "FID gap remains" in joined
