@@ -706,6 +706,21 @@ def _pallas_mesh_gate(mesh):
     return False, None
 
 
+def _effective_mesh(mesh):
+    """None for one-device meshes: they are semantically identical to no
+    mesh (same math, RNG streams, and batch permutations) but pay real
+    partitioner overhead — measured 13% on the device-epoch train step
+    even with the shard_map wrapper already skipped (2040 vs 1775 img/s,
+    tools/bench_train.py --mode mesh). The trainers drop them; the
+    low-level make_train_epoch/make_train_step still honor an explicit
+    one-device mesh so that overhead stays measurable."""
+    if mesh is None:
+        return None
+    import math
+
+    return None if math.prod(mesh.shape.values()) == 1 else mesh
+
+
 def make_optimizer(lr: float, epochs: int, steps_per_epoch: int):
     """AdamW (torch-default hyperparams) + epoch-cosine LR + grad clip 1.0."""
     import optax
@@ -751,6 +766,8 @@ def train_base_flow(
     base_flow.py:210-226).
     """
     from rectified_flow_vision_tpu.parallel import mesh as mesh_lib
+
+    mesh = _effective_mesh(mesh)  # one-device meshes == no mesh, minus cost
 
     # GSPMD has no partitioning rule for pallas_call. On a pure data-
     # parallel (or FSDP) mesh the fused dropout kernel survives via a

@@ -32,6 +32,7 @@ import numpy as np
 from rectified_flow_vision_tpu.models.base_flow import (
     DEVICE_EPOCH_MAX_BYTES,
     BaseFlowModel,
+    _effective_mesh,
     _pallas_mesh_gate,
     _to_nhwc,
     make_optimizer,
@@ -229,6 +230,7 @@ def train_rectified_flow(
     params = model.params
     opt_state = tx.init(params)
     use_ema = ema_decay is not None and ema_decay > 0
+    mesh = _effective_mesh(mesh)  # one-device meshes == no mesh, minus cost
     # data-parallel mesh keeps the fused dropout kernel via shard_map;
     # TP forces the XLA chain (same gate as train_base_flow)
     pallas_dropout, pallas_mesh = _pallas_mesh_gate(mesh)
