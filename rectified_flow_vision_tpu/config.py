@@ -97,6 +97,12 @@ class TrainingRectifiedConfig:
     # >0 trains an EMA of the student (saved as *_ema_* checkpoints)
     ema_decay: float = 0.0
     pair_batch_size: int = 64
+    # distil from the base model's EMA weights (base_flow_ema_final) when
+    # they exist. The benchmark's base@100 anchor evaluates the EMA
+    # checkpoint (benchmark.prefer_ema), so the student should target the
+    # same — better — teacher it is judged against. No-op when the base
+    # run trained without ema_decay (reference parity: no EMA file).
+    teacher_use_ema: bool = True
 
 
 @dataclass

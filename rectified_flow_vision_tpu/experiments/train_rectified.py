@@ -34,6 +34,23 @@ def _build_base_model(cfg: Config) -> BaseFlowModel:
     return build_model(cfg)
 
 
+def _resolve_teacher_path(cfg: Config, checkpoint_dir):
+    """Pick the base checkpoint the student distils from.
+
+    Prefers ``base_flow_ema_final.npz`` when it exists (and
+    ``teacher_use_ema`` is set): the benchmark's base@100 quality anchor
+    evaluates the EMA weights under ``benchmark.prefer_ema``, so the
+    student should target the same — better — teacher it is judged
+    against. Reference parity is unaffected: a run without
+    ``training_base.ema_decay`` writes no EMA file.
+    """
+    base_path = checkpoint_dir / "base_flow_final.npz"
+    ema_path = checkpoint_dir / "base_flow_ema_final.npz"
+    if getattr(cfg.training_rectified, "teacher_use_ema", True) and ema_path.exists():
+        return ema_path
+    return base_path
+
+
 def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     cfg = config if config is not None else load_config()
     if mesh is None:
@@ -44,7 +61,7 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     checkpoint_dir = repo_root() / cfg.paths.checkpoints
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
-    base_path = checkpoint_dir / "base_flow_final.npz"
+    base_path = _resolve_teacher_path(cfg, checkpoint_dir)
     base_model = _build_base_model(cfg)
     if base_path.exists():
         log.info("Loading base model from: %s", base_path)

@@ -146,3 +146,44 @@ class TestConfig:
     def test_missing_file_gives_defaults(self, tmp_path):
         cfg = load_config(tmp_path / "nope.yaml")
         assert cfg.data.image_size == 64
+
+
+class TestTeacherCheckpointSelection:
+    """train_rectified distils from the EMA base weights when present —
+    the same checkpoint the benchmark's base@100 anchor evaluates under
+    benchmark.prefer_ema."""
+
+    def _dir_with(self, tmp_path, names):
+        for n in names:
+            (tmp_path / n).write_bytes(b"")
+        return tmp_path
+
+    def test_prefers_ema_when_present(self, tmp_path):
+        from rectified_flow_vision_tpu.experiments.train_rectified import (
+            _resolve_teacher_path,
+        )
+
+        d = self._dir_with(
+            tmp_path, ["base_flow_final.npz", "base_flow_ema_final.npz"]
+        )
+        assert _resolve_teacher_path(Config(), d).name == "base_flow_ema_final.npz"
+
+    def test_falls_back_to_raw_final(self, tmp_path):
+        from rectified_flow_vision_tpu.experiments.train_rectified import (
+            _resolve_teacher_path,
+        )
+
+        d = self._dir_with(tmp_path, ["base_flow_final.npz"])
+        assert _resolve_teacher_path(Config(), d).name == "base_flow_final.npz"
+
+    def test_knob_disables_ema_teacher(self, tmp_path):
+        from rectified_flow_vision_tpu.experiments.train_rectified import (
+            _resolve_teacher_path,
+        )
+
+        d = self._dir_with(
+            tmp_path, ["base_flow_final.npz", "base_flow_ema_final.npz"]
+        )
+        cfg = Config()
+        cfg.training_rectified.teacher_use_ema = False
+        assert _resolve_teacher_path(cfg, d).name == "base_flow_final.npz"
