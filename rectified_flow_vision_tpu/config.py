@@ -103,6 +103,12 @@ class TrainingRectifiedConfig:
     # same — better — teacher it is judged against. No-op when the base
     # run trained without ema_decay (reference parity: no EMA file).
     teacher_use_ema: bool = True
+    # fraction of Reflow pairs built data-side: REAL images inverted
+    # through the teacher ODE (x0 = ODE^-1(x1_data)) instead of teacher
+    # samples — the student's quality ceiling becomes the data itself
+    # (Simple ReFlow, arXiv:2410.07815). 0 = reference-parity forward
+    # couplings only.
+    data_pair_fraction: float = 0.0
 
 
 @dataclass

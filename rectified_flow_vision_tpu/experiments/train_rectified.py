@@ -51,6 +51,27 @@ def _resolve_teacher_path(cfg: Config, checkpoint_dir):
     return base_path
 
 
+def _flow_space_corpus(cfg: Config, checkpoint_dir) -> np.ndarray:
+    """The training corpus in the flow model's space (NHWC numpy).
+
+    Pixel configs: the resized/normalized images themselves. Latent
+    configs: the pixel corpus encoded through the (already trained)
+    ConvVAE — data-side Reflow couplings must live where the ODE does.
+    """
+    from rectified_flow_vision_tpu.data import ImageDataset
+    from rectified_flow_vision_tpu.experiments.train_base import (
+        encode_dataset,
+        ensure_vae,
+    )
+
+    data_dir = repo_root() / cfg.data.data_dir
+    dataset = ImageDataset(str(data_dir), cfg.data.image_size)
+    if getattr(cfg.model, "latent", False):
+        vae, vae_params = ensure_vae(cfg, dataset, checkpoint_dir)
+        return encode_dataset(vae, vae_params, dataset.images).images
+    return dataset.images
+
+
 def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     cfg = config if config is not None else load_config()
     if mesh is None:
@@ -86,6 +107,10 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
     # formulas (experiments/train_rectified.py:75-80)
     num_pairs = tr.num_pairs or min(1000, cfg.data.num_mock_images * 10)
     teacher_steps = tr.teacher_steps or cfg.training_base.num_timesteps // 10
+    data_frac = getattr(tr, "data_pair_fraction", 0.0)
+    real_data = (
+        _flow_space_corpus(cfg, checkpoint_dir) if data_frac > 0 else None
+    )
     x0_data, x1_data = generate_reflow_pairs(
         base_model,
         num_pairs=num_pairs,
@@ -93,6 +118,8 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
         data_format="NHWC",
         batch_size=tr.pair_batch_size,
         method=tr.teacher_method,
+        real_data=real_data,
+        data_pair_fraction=data_frac,
     )
 
     losses = train_rectified_flow(
@@ -151,6 +178,8 @@ def main(config: Optional[Config] = None, *, mesh=None) -> RectifiedFlowModel:
             teacher_method=tr.teacher_method,
             time_sampling=tr.time_sampling,
             ema_decay=tr.ema_decay or None,
+            real_data=real_data,
+            data_pair_fraction=data_frac,
         )
         log.info("Created %d iteratively rectified models", len(models))
 

@@ -304,6 +304,7 @@ class BaseFlowModel:
         return_trajectory: bool,
         dtype,
         method: str = "euler",
+        reverse: bool = False,
     ):
         key = (
             num_steps,
@@ -311,13 +312,17 @@ class BaseFlowModel:
             jnp.dtype(dtype).name,
             method,
             bool(self.use_pallas),
+            bool(reverse),
         )
         if key in self._sampler_cache:
             return self._sampler_cache[key]
 
         net = self.velocity_net
         use_pallas = self.use_pallas
-        dt = 1.0 / num_steps
+        # forward integrates t: 0 -> 1; reverse runs the same ODE t: 1 -> 0
+        # (used to invert real images into their coupled noise for
+        # data-side Reflow pairs)
+        dt = (-1.0 if reverse else 1.0) / num_steps
 
         def vel(cparams, x, t_scalar):
             t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
@@ -336,8 +341,9 @@ class BaseFlowModel:
             x = noise.astype(jnp.float32)
 
             def step(x, i):
-                # Left-endpoint times t_i = i/N (reference: base_flow.py:163-166)
-                t0 = i * dt
+                # Left-endpoint times t_i = i/N forward (reference:
+                # base_flow.py:163-166); t_i = 1 - i/N in reverse
+                t0 = (1.0 if reverse else 0.0) + i * dt
                 v = vel(cparams, x, t0)
                 if method == "euler":
                     x = x + v * dt
@@ -404,6 +410,34 @@ class BaseFlowModel:
             return [_from_nhwc(s, data_format) for s in states]
         x = sampler(self.params, noise_nhwc)
         return _from_nhwc(x, data_format)
+
+    def invert(
+        self,
+        images,
+        num_steps: int = 100,
+        *,
+        data_format: str = "NCHW",
+        dtype: Optional[str] = None,
+        method: str = "euler",
+    ):
+        """Integrate the flow ODE backward (t: 1 -> 0) from images to noise.
+
+        The deterministic inverse of :meth:`sample` up to O(dt) integration
+        error: for real images this recovers the noise the model couples
+        them with, which is the data-side Reflow pair source ("Simple
+        ReFlow", arXiv:2410.07815 — pairs whose x1 is REAL data rather than
+        teacher samples, lifting the student's quality ceiling above the
+        teacher's own sample quality). Same fused lax.scan executable shape
+        as the forward sampler. No reference counterpart (the reference's
+        pair synthesis is forward-only, rectified_flow.py:127-174).
+        """
+        sample_dtype = _DTYPES[dtype] if dtype is not None else self.sample_dtype
+        x_nhwc = _to_nhwc(images, data_format).astype(jnp.float32)
+        sampler = self._get_sampler(
+            num_steps, False, sample_dtype, method, reverse=True
+        )
+        x0 = sampler(self.params, x_nhwc)
+        return _from_nhwc(x0, data_format)
 
     def sample_with_trajectory(
         self,

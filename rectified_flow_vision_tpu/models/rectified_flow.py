@@ -142,22 +142,66 @@ def generate_reflow_pairs(
     seed: int = 0,
     data_format: str = "NCHW",
     method: str = "euler",
+    real_data=None,
+    data_pair_fraction: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Synthesize (noise, teacher-generated image) couplings.
+    """Synthesize (noise, image) couplings for Reflow training.
 
-    All batches share one compiled sampler executable (fixed shape); the
-    final partial batch is padded to full shape and truncated on the host.
-    Returns numpy arrays of shape [num_pairs, ...].
+    Forward couplings (the reference's scheme, rectified_flow.py:127-174):
+    draw x0 ~ N(0, I) and integrate the teacher ODE forward to x1. All
+    batches share one compiled sampler executable (fixed shape); the final
+    partial batch is padded to full shape and truncated on the host.
+
+    Data-side couplings (``data_pair_fraction`` > 0, requires
+    ``real_data``): take REAL images x1 and integrate the teacher ODE
+    *backward* (:meth:`BaseFlowModel.invert`) to their coupled noise x0.
+    The student then distils straight paths whose endpoints are real data
+    — its quality ceiling becomes the data itself rather than the
+    teacher's own samples ("Simple ReFlow", arXiv:2410.07815). Because
+    inversion is deterministic, unique data pairs are bounded by the
+    corpus size; mixing with forward pairs keeps the x0 marginal close to
+    Gaussian. Returns numpy arrays of shape [num_pairs, ...] with the
+    data-side pairs first.
 
     ``method`` selects the teacher's ODE integrator ("euler" = reference
     parity; "heun" gives 2nd-order targets from the curved base ODE at 2
     net evals/step — better couplings for the same step count).
     """
+    num_data_pairs = 0
+    if data_pair_fraction > 0.0:
+        if real_data is None:
+            raise ValueError("data_pair_fraction > 0 requires real_data")
+        num_data_pairs = min(int(round(num_pairs * data_pair_fraction)), num_pairs)
+    num_fwd_pairs = num_pairs - num_data_pairs
+
     key = jax.random.key(seed)
-    num_batches = -(-num_pairs // batch_size)
-    log.info("Generating %d pairs for Reflow (%d steps)...", num_pairs, num_steps)
+    log.info(
+        "Generating %d pairs for Reflow (%d steps%s)...",
+        num_pairs,
+        num_steps,
+        f", {num_data_pairs} data-side" if num_data_pairs else "",
+    )
 
     x0_list, x1_list = [], []
+
+    if num_data_pairs:
+        data_nhwc = np.asarray(
+            jax.device_get(_to_nhwc(real_data, data_format)), np.float32
+        )
+        # cycle the corpus when fewer unique images than requested pairs
+        idx = np.arange(num_data_pairs) % data_nhwc.shape[0]
+        chosen = data_nhwc[idx]
+        for start in range(0, num_data_pairs, batch_size):
+            x1 = chosen[start : start + batch_size]
+            pad = batch_size - x1.shape[0]
+            x1_full = np.concatenate([x1, x1[:1].repeat(pad, 0)]) if pad else x1
+            x0 = teacher_model.invert(
+                x1_full, num_steps=num_steps, data_format="NHWC", method=method
+            )
+            x0_list.append(np.asarray(jax.device_get(x0))[: x1.shape[0]])
+            x1_list.append(x1)
+
+    num_batches = -(-num_fwd_pairs // batch_size) if num_fwd_pairs else 0
     for b in range(num_batches):
         bkey = jax.random.fold_in(key, b)
         x0 = jax.random.normal(
@@ -402,6 +446,8 @@ def iterative_reflow(
     teacher_method: str = "euler",
     time_sampling: str = "uniform",
     ema_decay: Optional[float] = None,
+    real_data=None,
+    data_pair_fraction: float = 0.0,
 ) -> List[RectifiedFlowModel]:
     """Reflow-K: iteratively re-straighten (reference: rectified_flow.py:258-318).
 
@@ -439,6 +485,8 @@ def iterative_reflow(
             seed=seed + k,
             data_format="NHWC",
             method=teacher_method,
+            real_data=real_data,
+            data_pair_fraction=data_pair_fraction,
         )
 
         save_path = f"{save_dir}/reflow_k{k + 1}" if save_dir else None
