@@ -188,18 +188,23 @@ def generate_reflow_pairs(
         data_nhwc = np.asarray(
             jax.device_get(_to_nhwc(real_data, data_format)), np.float32
         )
-        # cycle the corpus when fewer unique images than requested pairs
-        idx = np.arange(num_data_pairs) % data_nhwc.shape[0]
-        chosen = data_nhwc[idx]
-        for start in range(0, num_data_pairs, batch_size):
-            x1 = chosen[start : start + batch_size]
+        # the inverse map is deterministic, so invert each unique image
+        # once and tile when the corpus is smaller than the request
+        n_unique = min(num_data_pairs, data_nhwc.shape[0])
+        unique = data_nhwc[:n_unique]
+        x0_unique_parts = []
+        for start in range(0, n_unique, batch_size):
+            x1 = unique[start : start + batch_size]
             pad = batch_size - x1.shape[0]
             x1_full = np.concatenate([x1, x1[:1].repeat(pad, 0)]) if pad else x1
             x0 = teacher_model.invert(
                 x1_full, num_steps=num_steps, data_format="NHWC", method=method
             )
-            x0_list.append(np.asarray(jax.device_get(x0))[: x1.shape[0]])
-            x1_list.append(x1)
+            x0_unique_parts.append(np.asarray(jax.device_get(x0))[: x1.shape[0]])
+        x0_unique = np.concatenate(x0_unique_parts)
+        idx = np.arange(num_data_pairs) % n_unique
+        x0_list.append(x0_unique[idx])
+        x1_list.append(unique[idx])
 
     num_batches = -(-num_fwd_pairs // batch_size) if num_fwd_pairs else 0
     for b in range(num_batches):
