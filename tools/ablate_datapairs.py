@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--fractions", nargs="+", type=float, default=[0.5])
     ap.add_argument("--config", default="configs/config_cifar32q.yaml")
     ap.add_argument("--steps", nargs="+", type=int, default=[1, 2, 4, 8])
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override student epochs (shorter paired ablations)")
+    ap.add_argument("--pairs", type=int, default=None,
+                    help="override num_pairs")
+    ap.add_argument("--out", default=None,
+                    help="also append one JSON line per arm to this file")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +53,8 @@ def main() -> None:
 
     cfg = load_config(args.config)
     tr = cfg.training_rectified
+    epochs = args.epochs or tr.epochs
+    num_pairs = args.pairs or tr.num_pairs
     ckpt_dir = repo_root() / cfg.paths.checkpoints
     teacher = BaseFlowModel(
         image_size=cfg.data.image_size,
@@ -69,7 +77,7 @@ def main() -> None:
         scratch.mkdir(parents=True, exist_ok=True)
         x0, x1 = generate_reflow_pairs(
             teacher,
-            num_pairs=tr.num_pairs,
+            num_pairs=num_pairs,
             batch_size=tr.pair_batch_size,
             num_steps=tr.teacher_steps,
             data_format="NHWC",
@@ -82,7 +90,7 @@ def main() -> None:
             student,
             x0,
             x1,
-            epochs=tr.epochs,
+            epochs=epochs,
             batch_size=tr.batch_size,
             lr=tr.learning_rate,
             save_path=str(scratch / "rect"),
@@ -94,12 +102,15 @@ def main() -> None:
         ema_params, _ = ckpt_io.load_params(str(scratch / "rect_ema_final.npz"))
         student.params = jax.tree_util.tree_map(np.asarray, ema_params)
 
-        row = {"data_pair_fraction": frac}
+        row = {"data_pair_fraction": frac, "epochs": epochs, "num_pairs": num_pairs}
         for steps in args.steps:
             q = benchmark_quality(student, ref_imgs, steps)
             row[f"fid_deep@{steps}"] = round(q["fid_deep"], 3)
             row[f"ssim@{steps}"] = round(q["ssim_mean"], 4)
         print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":
