@@ -10,6 +10,10 @@ committed quality artifacts use (results/cifar32q/quality_results.csv:
 base@100 fid_deep 3.62).
 
 Usage: python tools/ablate_datapairs.py [--fractions 0.5 0.25]
+            [--epochs N] [--pairs N] [--out FILE]
+--epochs / --pairs override the config's student schedule and pair count
+(shorter paired ablations; the reported JSON rows record the overrides
+actually used), --out additionally appends each arm's JSON line to FILE.
 Writes per-arm checkpoints under /tmp/ablate_dp_<frac>/ and prints one
 JSON line per arm.
 """
@@ -53,8 +57,8 @@ def main() -> None:
 
     cfg = load_config(args.config)
     tr = cfg.training_rectified
-    epochs = args.epochs or tr.epochs
-    num_pairs = args.pairs or tr.num_pairs
+    epochs = args.epochs if args.epochs is not None else tr.epochs
+    num_pairs = args.pairs if args.pairs is not None else tr.num_pairs
     ckpt_dir = repo_root() / cfg.paths.checkpoints
     teacher = BaseFlowModel(
         image_size=cfg.data.image_size,

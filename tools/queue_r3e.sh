@@ -18,7 +18,11 @@ trap 'rm -f /tmp/queue_r3e.pid' EXIT
 stage() { echo "=== $1 $(date)"; }
 OUT=results/ablations/datapairs_cifar32q.jsonl
 mkdir -p results/ablations
-rm -f "$OUT"
+# only wipe an UNTRACKED results file: committed arm rows must stay
+# additive across re-runs (a tracked file's history is run evidence)
+if ! git ls-files --error-unmatch "$OUT" >/dev/null 2>&1; then
+  rm -f "$OUT"
+fi
 
 if [ ! -f checkpoints/cifar32q/base_flow_ema_final.npz ]; then
   stage "retrain cifar32q base (checkpoints lost to VM reset)"
@@ -31,7 +35,8 @@ for frac in 0.0 0.5; do
   python tools/ablate_datapairs.py --fractions "$frac" --epochs 150 \
     --out "$OUT" || exit $?
   git add "$OUT"
-  git commit -m "datapairs ablation (cifar32q, 150ep): arm frac=$frac" --quiet
+  git commit -m "datapairs ablation (cifar32q, 150ep): arm frac=$frac" \
+    --quiet -- "$OUT"
   stage "arm frac=$frac committed"
 done
 
