@@ -24,7 +24,7 @@ def main() -> None:
     p.add_argument("--out", type=str, default=str(synthnet.DEFAULT_WEIGHTS_PATH))
     args = p.parse_args()
 
-    params, val_acc = synthnet.train_synthnet(
+    params, metrics = synthnet.train_synthnet(
         n_train=args.n_train,
         epochs=args.epochs,
         batch=args.batch,
@@ -32,7 +32,10 @@ def main() -> None:
         seed=args.seed,
     )
     synthnet.save_weights(params, Path(args.out))
-    print(f"saved {args.out} (val count-accuracy {val_acc:.3f})")
+    print(
+        f"saved {args.out} (val count {metrics['count_acc']:.3f} "
+        f"blur {metrics['blur_acc']:.3f} noise {metrics['noise_acc']:.3f})"
+    )
 
 
 if __name__ == "__main__":
