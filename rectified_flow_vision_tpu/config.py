@@ -67,6 +67,10 @@ class TrainingBaseConfig:
     resume: bool = False          # restart from the latest train state
     ema_decay: float = 0.0        # >0 enables EMA params
     use_native_loader: bool = False
+    # linear LR warmup over this many epochs before the cosine schedule
+    # (0 = reference parity). Guards Adam's moments against early spikes —
+    # the measured dit256 divergence mode (docs/DESIGN.md).
+    warmup_epochs: float = 0.0
 
 
 @dataclass
@@ -122,8 +126,21 @@ class BenchmarkConfig:
     # ms/img numbers on TPU); 0 disables and keeps latency-only columns
     throughput_batch: int = 256
     # number of reference/generated images for the quality benchmark
-    # (more => tighter FID estimates; capped by the corpus size)
+    # (more => tighter FID estimates; FID bias at n~100 can flip close
+    # verdicts, so artifact runs use >=1000)
     quality_samples: int = 32
+    # quality references come from a HELD-OUT synthetic eval set
+    # (data/eval_<size>/, generated on demand with a fixed seed disjoint
+    # from the training corpus) instead of the training images — FID then
+    # measures generalization, and the reference count is not capped by
+    # the training-corpus size. Set false to compare against the corpus
+    # itself (the pre-r4 behavior; required when data_dir holds real
+    # photos the synthetic recipe cannot match).
+    heldout_reference: bool = True
+    # cap on how many image pairs the host-side SSIM loop scores (0 = all
+    # quality_samples). SSIM is a paired mean — n=256 is statistically
+    # plenty — and at 256px each pair costs ~0.4 s on this 1-core host.
+    ssim_samples: int = 0
     # evaluate *_ema_final checkpoints when present (EMA weights are the
     # production sampling weights whenever ema_decay > 0 during training)
     prefer_ema: bool = False

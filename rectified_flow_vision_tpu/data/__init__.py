@@ -5,6 +5,7 @@ from rectified_flow_vision_tpu.data.dataset import (  # noqa: F401
     ImageDataset,
     as_nchw,
     as_nhwc,
+    eval_reference_images,
     list_image_paths,
     load_image,
 )

@@ -171,3 +171,32 @@ def as_nchw(x: np.ndarray) -> np.ndarray:
 def as_nhwc(x: np.ndarray) -> np.ndarray:
     """NCHW -> NHWC (internal TPU-native layout)."""
     return np.transpose(x, (0, 2, 3, 1))
+
+
+def eval_reference_images(image_size: int, n: int) -> np.ndarray:
+    """Held-out synthetic evaluation references (NHWC float32 in [-1,1]).
+
+    Quality metrics compared against the TRAINING corpus reward
+    memorization and are capped at the corpus size; this returns a
+    disjoint, deterministic eval set drawn from the same procedural
+    distribution (reference: utils/download_data.py:51-101). The set lives
+    in ``data/eval_<size>/`` (gitignored — a pure function of
+    (image_size, n): generation is sequential from a fixed seed, so
+    growing n keeps every earlier image identical) and is regenerated
+    whenever fewer than ``n`` images are present.
+    """
+    import shutil
+
+    from rectified_flow_vision_tpu.config import repo_root
+    from rectified_flow_vision_tpu.utils.download_data import (
+        generate_synthetic_images,
+    )
+
+    d = repo_root() / "data" / f"eval_{image_size}"
+    have = len(list_image_paths(d)) if d.exists() else 0
+    if have < n:
+        shutil.rmtree(d, ignore_errors=True)
+        generate_synthetic_images(
+            str(d), n, image_size, seed=4242 + image_size
+        )
+    return ImageDataset(str(d), image_size).images[:n]

@@ -169,6 +169,7 @@ def main(config: Optional[Config] = None, *, mesh=None) -> BaseFlowModel:
         use_native_loader=cfg.training_base.use_native_loader,
         ema_decay=cfg.training_base.ema_decay or None,
         fsdp=cfg.parallel.fsdp,
+        warmup_epochs=getattr(cfg.training_base, "warmup_epochs", 0.0),
     )
 
     np.save(str(checkpoint_dir / "base_flow_losses.npy"), losses)

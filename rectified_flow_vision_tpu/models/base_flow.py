@@ -533,15 +533,30 @@ class BaseFlowModel:
 # ---------------------------------------------------------------------------
 
 
-def make_epoch_cosine_schedule(lr: float, epochs: int, steps_per_epoch: int):
+def make_epoch_cosine_schedule(
+    lr: float, epochs: int, steps_per_epoch: int, warmup_epochs: float = 0.0
+):
     """Per-epoch cosine annealing, matching torch CosineAnnealingLR stepped
     once per epoch (reference: base_flow.py:252,281): epoch e uses
-    lr * (1 + cos(pi * e / epochs)) / 2."""
+    lr * (1 + cos(pi * e / epochs)) / 2.
+
+    ``warmup_epochs`` > 0 prepends a linear per-STEP ramp from 0 to the
+    scheduled lr across that many epochs — a stability extension the
+    reference lacks: the dit256 base run's Adam moments were corrupted by
+    early-training spikes (round-3 measured divergence), exactly what
+    warmup prevents.
+    """
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
         frac = jnp.minimum(epoch / epochs, 1.0)
-        return 0.5 * lr * (1.0 + jnp.cos(jnp.pi * frac))
+        cos = 0.5 * lr * (1.0 + jnp.cos(jnp.pi * frac))
+        if warmup_epochs <= 0:
+            return cos
+        ramp = jnp.minimum(
+            (step + 1.0) / (warmup_epochs * max(steps_per_epoch, 1)), 1.0
+        )
+        return cos * ramp
 
     return schedule
 
@@ -755,11 +770,15 @@ def _effective_mesh(mesh):
     return None if math.prod(mesh.shape.values()) == 1 else mesh
 
 
-def make_optimizer(lr: float, epochs: int, steps_per_epoch: int):
+def make_optimizer(
+    lr: float, epochs: int, steps_per_epoch: int, warmup_epochs: float = 0.0
+):
     """AdamW (torch-default hyperparams) + epoch-cosine LR + grad clip 1.0."""
     import optax
 
-    schedule = make_epoch_cosine_schedule(lr, epochs, steps_per_epoch)
+    schedule = make_epoch_cosine_schedule(
+        lr, epochs, steps_per_epoch, warmup_epochs
+    )
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(
@@ -786,6 +805,7 @@ def train_base_flow(
     ema_decay: Optional[float] = None,
     device_epoch: Optional[bool] = None,
     fsdp: bool = False,
+    warmup_epochs: float = 0.0,
 ) -> List[float]:
     """Train the base flow model (reference: base_flow.py:229-293).
 
@@ -839,7 +859,7 @@ def train_base_flow(
     if steps_per_epoch == 0:
         raise ValueError("empty dataloader")
 
-    tx = make_optimizer(lr, epochs, steps_per_epoch)
+    tx = make_optimizer(lr, epochs, steps_per_epoch, warmup_epochs)
     params = model.params
     opt_state = tx.init(params)
     use_ema = ema_decay is not None and ema_decay > 0

@@ -32,15 +32,18 @@ def rows_from_csvs(results_dir: Path):
     t = pd.read_csv(results_dir / "benchmark_results.csv")
     quality_rows = []
     for _, r in q.iterrows():
-        quality_rows.append(
-            {
-                "model": r["model"],
-                "num_steps": int(r["num_steps"]),
-                "ssim_mean": float(r["ssim_mean"]),
-                "fid_simple": float(r["fid_simple"]),
-                "fid_deep": float(r.get("fid_deep", math.nan)),
-            }
+        # carry EVERY committed column (the conclusions path reads the
+        # r4 CI / precision / n_eval columns when present), with the core
+        # judging fields normalized
+        row = {k: r[k] for k in q.columns}
+        row.update(
+            model=r["model"],
+            num_steps=int(r["num_steps"]),
+            ssim_mean=float(r["ssim_mean"]),
+            fid_simple=float(r["fid_simple"]),
+            fid_deep=float(r.get("fid_deep", math.nan)),
         )
+        quality_rows.append(row)
     base_results, rect_results = [], []
     for _, r in t.iterrows():
         base_results.append(
