@@ -12,6 +12,12 @@ unrecorded, likely CPU — the only measured numbers the reference ships).
 The sampler is the framework's fused lax.scan executable (bf16 model
 compute, Pallas kernels on TPU); throughput is measured at a large batch
 with warmup excluded and block_until_ready closing each timed window.
+
+Secondary JSON lines (printed BEFORE the primary so a last-line parser
+still reads the headline): 1-step 64x64 sampling, 4-step 32x32 sampling
+(the BASELINE.json north-star config), and the 64x64 batch-256 training
+step — the metrics that actually move round-over-round while the headline
+sits at XLA's 64-channel conv-emitter ceiling (docs/DESIGN.md).
 """
 
 from __future__ import annotations
@@ -113,23 +119,19 @@ def main() -> None:
     # paused background queue would stay SIGSTOPped forever.
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
 
-    with _PauseBackgroundRuns():
-        model = BaseFlowModel(image_size=image_size)  # default = ref config
-
-        key = jax.random.key(0)
+    def sample_tput(model, steps, batch, chain=8):
+        """Best-of-N chained-sampler throughput (img/s), compile excluded."""
         noise = jax.random.normal(
-            key, (batch, image_size, image_size, 3), jnp.float32
+            jax.random.key(0),
+            (batch, model.image_size, model.image_size, 3),
+            jnp.float32,
         )
-        sampler = model._get_sampler(num_steps, False, model.sample_dtype)
-
+        sampler = model._get_sampler(steps, False, model.sample_dtype)
         # Warmup: compile the scan executable; scalar fetch forces
         # completion (under remote-execution tunnels block_until_ready can
-        # return before the device finishes, so all timing here closes over
-        # a dependency chain ended by a scalar readback).
-        x = sampler(model.params, noise)
-        float(jnp.sum(x))
-
-        chain = 8  # iterations per timed window, output feeding next input
+        # return before the device finishes, so all timing here closes
+        # over a dependency chain ended by a scalar readback).
+        float(jnp.sum(sampler(model.params, noise)))
         times = []
         for _ in range(num_runs):
             t0 = time.perf_counter()
@@ -138,19 +140,81 @@ def main() -> None:
                 x = sampler(model.params, x)
             float(jnp.sum(x))  # sync
             times.append((time.perf_counter() - t0) / chain)
+        return batch / min(times)
 
-    best = min(times)
-    img_per_sec = batch / best
+    def train_tput(model, batch, chain=8):
+        """Training-step throughput (img/s) at the flagship geometry."""
+        import optax
 
-    print(
-        json.dumps(
-            {
-                "metric": f"img_per_sec_{image_size}x{image_size}_{num_steps}step_euler",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_4STEP, 2),
-            }
+        from rectified_flow_vision_tpu.models.base_flow import make_train_step
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(1e-4)
         )
+        params = model.params
+        opt_state = tx.init(params)
+        step = make_train_step(model, tx, coupled=False)
+        data = jax.random.normal(
+            jax.random.key(1),
+            (batch, model.image_size, model.image_size, 3),
+            jnp.float32,
+        )
+        rng = jax.random.key(2)
+        params, opt_state, loss = step(params, opt_state, data, rng)
+        float(loss)  # compile + sync
+        times = []
+        for r in range(num_runs):
+            t0 = time.perf_counter()
+            for i in range(chain):
+                params, opt_state, loss = step(
+                    params, opt_state, data, jax.random.fold_in(rng, r * 31 + i)
+                )
+            float(loss)
+            times.append((time.perf_counter() - t0) / chain)
+        return batch / min(times)
+
+    def emit(metric, value, baseline=None, secondary=False):
+        row = {
+            "metric": metric,
+            "value": round(value, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(value / baseline, 2) if baseline else None,
+        }
+        if secondary:
+            row["secondary"] = True
+        print(json.dumps(row))
+
+    with _PauseBackgroundRuns():
+        model = BaseFlowModel(image_size=image_size)  # default = ref config
+        headline = sample_tput(model, num_steps, batch)
+        # secondary metrics (progress visibility; see module docstring) —
+        # emitted before the primary so the LAST line stays the headline
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            emit(
+                "img_per_sec_64x64_1step_euler",
+                sample_tput(model, 1, batch),
+                71.96e-3 ** -1,  # ref csv row steps=1: 71.96 ms/img
+                secondary=True,
+            )
+            model32 = BaseFlowModel(image_size=32)  # cifar32 geometry
+            emit(
+                "img_per_sec_32x32_4step_euler",
+                sample_tput(model32, 4, batch),
+                5000.0,  # BASELINE.json north star: >=5k 32x32 img/s/chip
+                secondary=True,
+            )
+            del model32
+            emit(
+                "train_img_per_sec_64x64_b256",
+                train_tput(BaseFlowModel(image_size=image_size), batch),
+                secondary=True,
+            )
+
+    emit(
+        f"img_per_sec_{image_size}x{image_size}_{num_steps}step_euler",
+        headline,
+        BASELINE_IMG_PER_SEC_4STEP,
     )
 
 

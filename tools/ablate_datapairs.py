@@ -39,6 +39,9 @@ def main() -> None:
                     help="override num_pairs")
     ap.add_argument("--out", default=None,
                     help="also append one JSON line per arm to this file")
+    ap.add_argument("--anchor", action="store_true",
+                    help="also emit a base-teacher@100 anchor row (re-run "
+                    "whenever the metric backbone or reference set changes)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,45 @@ def main() -> None:
 
     ds = ImageDataset(str(repo_root() / cfg.data.data_dir), cfg.data.image_size)
     corpus = ds.images  # NHWC [-1, 1]
-    ref_imgs = corpus[: cfg.benchmark.quality_samples]
+    # held-out references + shared calculator: same methodology as the
+    # committed benchmark artifacts (heldout_reference / n>=1000 / CI)
+    from rectified_flow_vision_tpu.data import eval_reference_images
+    from rectified_flow_vision_tpu.utils import MetricsCalculator
+
+    ref_imgs = eval_reference_images(
+        cfg.data.image_size, cfg.benchmark.quality_samples
+    )
+    calc = MetricsCalculator()
+
+    def q_row(model, row):
+        for steps in args.steps:
+            q = benchmark_quality(model, ref_imgs, steps, calc=calc)
+            row[f"fid_deep@{steps}"] = round(q["fid_deep"], 3)
+            row[f"fid_ci@{steps}"] = [
+                round(q["fid_deep_lo"], 3), round(q["fid_deep_hi"], 3),
+            ]
+            row[f"ssim@{steps}"] = round(q["ssim_mean"], 4)
+        row["n_eval"] = int(ref_imgs.shape[0])
+        print(json.dumps(row), flush=True)
+        if args.out:
+            with open(args.out, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
+
+    if args.anchor:
+        q = benchmark_quality(teacher, ref_imgs, 100, calc=calc)
+        q_row_data = {
+            "data_pair_fraction": None, "model": "base_teacher@100",
+            "fid_deep@100": round(q["fid_deep"], 3),
+            "fid_ci@100": [
+                round(q["fid_deep_lo"], 3), round(q["fid_deep_hi"], 3),
+            ],
+            "ssim@100": round(q["ssim_mean"], 4),
+            "n_eval": int(ref_imgs.shape[0]),
+        }
+        print(json.dumps(q_row_data), flush=True)
+        if args.out:
+            with open(args.out, "a") as fh:
+                fh.write(json.dumps(q_row_data) + "\n")
 
     for frac in args.fractions:
         scratch = Path(f"/tmp/ablate_dp_{frac}")
@@ -107,14 +148,7 @@ def main() -> None:
         student.params = jax.tree_util.tree_map(np.asarray, ema_params)
 
         row = {"data_pair_fraction": frac, "epochs": epochs, "num_pairs": num_pairs}
-        for steps in args.steps:
-            q = benchmark_quality(student, ref_imgs, steps)
-            row[f"fid_deep@{steps}"] = round(q["fid_deep"], 3)
-            row[f"ssim@{steps}"] = round(q["ssim_mean"], 4)
-        print(json.dumps(row), flush=True)
-        if args.out:
-            with open(args.out, "a") as fh:
-                fh.write(json.dumps(row) + "\n")
+        q_row(student, row)
 
 
 if __name__ == "__main__":
