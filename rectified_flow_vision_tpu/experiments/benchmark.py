@@ -735,10 +735,16 @@ def conclusion_lines_for(quality_rows, base_results, rect_results):
                 return f" [{lo:.1f}, {hi:.1f}]"
             return ""
 
+        n_eval = best_rect.get("n_eval")
+        n_part = (
+            f", n={int(n_eval)}"
+            if n_eval is not None and np.isfinite(float(n_eval)) and n_eval
+            else ""
+        )
         conclude(
-            "Measured quality (%s, n=%d): rect@%d FID %.1f%s / SSIM %.3f vs "
+            "Measured quality (%s%s): rect@%d FID %.1f%s / SSIM %.3f vs "
             "base@%d FID %.1f%s / SSIM %.3f",
-            fid_col, int(best_rect.get("n_eval", 0)),
+            fid_col, n_part,
             best_rect["num_steps"], best_rect[fid_col], _ci(best_rect),
             best_rect["ssim_mean"], anchor["num_steps"],
             anchor[fid_col], _ci(anchor), anchor["ssim_mean"],
