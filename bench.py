@@ -142,36 +142,36 @@ def main() -> None:
             times.append((time.perf_counter() - t0) / chain)
         return batch / min(times)
 
-    def train_tput(model, batch, chain=8):
-        """Training-step throughput (img/s) at the flagship geometry."""
-        import optax
-
-        from rectified_flow_vision_tpu.models.base_flow import make_train_step
-
-        tx = optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adamw(1e-4)
+    def train_tput(model, batch, steps=16):
+        """Training throughput (img/s) on the trainers' DEFAULT path: the
+        device-resident epoch scan (one dispatch per epoch)."""
+        from rectified_flow_vision_tpu.models.base_flow import (
+            make_optimizer,
+            make_train_epoch,
         )
-        params = model.params
-        opt_state = tx.init(params)
-        step = make_train_step(model, tx, coupled=False)
-        data = jax.random.normal(
+
+        tx = make_optimizer(1e-4, 10, steps)
+        train_epoch = make_train_epoch(model, tx, coupled=False)
+        corpus = jax.random.normal(
             jax.random.key(1),
-            (batch, model.image_size, model.image_size, 3),
+            (steps * batch, model.image_size, model.image_size, 3),
             jnp.float32,
         )
-        rng = jax.random.key(2)
-        params, opt_state, loss = step(params, opt_state, data, rng)
-        float(loss)  # compile + sync
+        perm = jnp.arange(steps * batch, dtype=jnp.int32).reshape(steps, batch)
+        params, ema, opt = model.params, None, tx.init(model.params)
+        params, ema, opt, losses = train_epoch(
+            params, ema, opt, corpus, perm, jax.random.key(0)
+        )
+        float(losses[-1])  # compile + sync
         times = []
         for r in range(num_runs):
             t0 = time.perf_counter()
-            for i in range(chain):
-                params, opt_state, loss = step(
-                    params, opt_state, data, jax.random.fold_in(rng, r * 31 + i)
-                )
-            float(loss)
-            times.append((time.perf_counter() - t0) / chain)
-        return batch / min(times)
+            params, ema, opt, losses = train_epoch(
+                params, ema, opt, corpus, perm, jax.random.key(r + 1)
+            )
+            float(losses[-1])
+            times.append(time.perf_counter() - t0)
+        return steps * batch / min(times)
 
     def emit(metric, value, baseline=None, secondary=False):
         row = {
@@ -206,8 +206,13 @@ def main() -> None:
             )
             del model32
             emit(
-                "train_img_per_sec_64x64_b256",
-                train_tput(BaseFlowModel(image_size=image_size), batch),
+                "train_img_per_sec_64x64_b256_device_epoch",
+                train_tput(
+                    BaseFlowModel(
+                        image_size=image_size, compute_dtype="bfloat16"
+                    ),
+                    batch,
+                ),
                 secondary=True,
             )
 
