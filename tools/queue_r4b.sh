@@ -42,8 +42,14 @@ EOF
   else
     stage "$cfg train_base SKIPPED (checkpoint exists)"
   fi
-  stage "$cfg train_rectified"
-  python -m rectified_flow_vision_tpu.experiments.train_rectified --config "$file" || return $?
+  # train_rectified likewise skipped when its final checkpoint exists, so a
+  # session cutoff between training and benchmark resumes at the benchmark
+  if [ ! -f "$ckpt_dir/rectified_flow_k1_final.npz" ]; then
+    stage "$cfg train_rectified"
+    python -m rectified_flow_vision_tpu.experiments.train_rectified --config "$file" || return $?
+  else
+    stage "$cfg train_rectified SKIPPED (checkpoint exists)"
+  fi
   stage "$cfg benchmark"
   python -m rectified_flow_vision_tpu.experiments.benchmark --config "$file" || return $?
   git add "$(res_dir "$cfg")" checkpoints/ 2>/dev/null
