@@ -240,7 +240,11 @@ def benchmark_quality(
         "ssim_n": n_ssim,
         "lpips": lpips_score,
         "lpips_to_ref": set_stats["precision"],
+        "lpips_to_ref_lo": set_stats["precision_lo"],
+        "lpips_to_ref_hi": set_stats["precision_hi"],
         "lpips_recall": set_stats["recall"],
+        "lpips_recall_lo": set_stats["recall_lo"],
+        "lpips_recall_hi": set_stats["recall_hi"],
         "fid_simple": fid,
         "fid_simple_n": n_simple,
         "fid_deep": deep["fid"],
@@ -249,6 +253,31 @@ def benchmark_quality(
         "n_eval": n,
         "num_steps": num_steps,
     }
+
+
+def _ci_bounds(row, col):
+    """(lo, hi) bootstrap interval for ``col`` in a quality row, or None
+    when the row predates the CI columns / the backbone was unavailable."""
+    lo = row.get(f"{col}_lo", float("nan"))
+    hi = row.get(f"{col}_hi", float("nan"))
+    try:
+        lo, hi = float(lo), float(hi)
+    except (TypeError, ValueError):
+        return None
+    if np.isfinite(lo) and np.isfinite(hi):
+        return lo, hi
+    return None
+
+
+def _beats_beyond_noise(a, b, col, rel_eps: float = 0.02) -> bool:
+    """True when row ``a``'s (lower-is-better) ``col`` beats row ``b``'s
+    beyond noise: disjoint bootstrap CIs when both rows carry them,
+    otherwise a >``rel_eps`` relative margin (the tie tolerance for rows
+    committed before the CI columns existed)."""
+    ci_a, ci_b = _ci_bounds(a, col), _ci_bounds(b, col)
+    if ci_a is not None and ci_b is not None:
+        return ci_a[1] < ci_b[0]
+    return a[col] < (1.0 - rel_eps) * b[col]
 
 
 def judge_quality_claim(quality_rows):
@@ -265,6 +294,15 @@ def judge_quality_claim(quality_rows):
     Returns ``(claim_supported, fid_col, best_rect_row, anchor_row)``;
     ``claim_supported`` is None when there is no quality data to judge
     with (missing anchor or no few-step rectified rows).
+
+    Anchor health (VERDICT r4 ask #3): a model whose many-step ODE solution
+    is WORSE than its few-step output is degenerate in steps — "rect@4
+    beats base@64" demonstrates nothing if base@64 is the base model's
+    worst output. When another base row beats the many-step anchor beyond
+    noise (CI-separated when CIs are present, else >2% relative), the
+    claim is judged against base's BEST measured row instead, and the
+    returned anchor carries ``degraded_from_steps``/``degraded_from_fid``
+    so reports disclose the substitution.
     """
     anchor = next(
         (
@@ -284,6 +322,20 @@ def judge_quality_claim(quality_rows):
         if np.isfinite(anchor.get("fid_deep", float("nan")))
         else "fid_simple"
     )
+    base_rows = [
+        r for r in quality_rows
+        if r["model"] == "base"
+        and np.isfinite(r.get(fid_col, float("nan")))
+    ]
+    best_base = min(base_rows, key=lambda r: r[fid_col], default=anchor)
+    if best_base is not anchor and _beats_beyond_noise(
+        best_base, anchor, fid_col
+    ):
+        anchor = dict(
+            best_base,
+            degraded_from_steps=anchor["num_steps"],
+            degraded_from_fid=anchor[fid_col],
+        )
     best_rect = min(rect_few, key=lambda r: r[fid_col])
     fid_ok = bool(best_rect[fid_col] <= 1.10 * anchor[fid_col])
     ssim_ok = bool(best_rect["ssim_mean"] >= anchor["ssim_mean"] - 0.02)
@@ -363,10 +415,18 @@ def main(config: Optional[Config] = None) -> pd.DataFrame:
 
 
 def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
+    import os as _os
+
     cfg = config if config is not None else load_config()
 
     checkpoint_dir = repo_root() / cfg.paths.checkpoints
-    results_dir = repo_root() / cfg.paths.results
+    # RFV_RESULTS_DIR redirects ALL artifacts of this run (queue scripts
+    # benchmark into a staging dir and move+commit atomically, so a round
+    # cutoff mid-benchmark never leaves fresh PNGs beside a stale CSV —
+    # VERDICT r4 ask #8)
+    results_dir = Path(
+        _os.environ.get("RFV_RESULTS_DIR") or (repo_root() / cfg.paths.results)
+    )
     results_dir.mkdir(parents=True, exist_ok=True)
 
     image_size = cfg.data.image_size
@@ -382,15 +442,16 @@ def _main_impl(config: Optional[Config] = None) -> pd.DataFrame:
         RectifiedFlowModel, cfg, checkpoint_dir / "rectified_flow_k1_final.npz",
         "Rectified",
     )
-    import os as _os
-
+    # guard the CONFIG's real results dir (not the staging override): the
+    # staging dir is always empty, but its contents are destined to replace
+    # the committed artifacts
     guard_untrained_overwrite(
         [
             name
             for name, m in (("base", base_model), ("rectified", rect_model))
             if getattr(m, "untrained", False)
         ],
-        results_dir,
+        repo_root() / cfg.paths.results,
         allow=bool(_os.environ.get("RFV_ALLOW_UNTRAINED")),
     )
 
@@ -704,17 +765,10 @@ def conclusion_lines_for(quality_rows, base_results, rect_results):
     images_per_second for timing; the quality CSV columns for quality), so
     the same verdict can be re-derived offline from committed CSVs
     (tools/append_conclusions.py)."""
-    optimal = next((r for r in rect_results if r["num_steps"] <= 4), None)
-    base_many = next((r for r in base_results if r["num_steps"] >= 64), None)
-    # the quality verdict is judged on the quality rows alone; the timing
-    # sweep may stop short of the anchor step count (e.g. dit256 times
-    # 1-32 steps but anchors quality at base@64), in which case the claim
-    # is still judged and only the total-speedup figure is omitted
-    total_speedup = (
-        base_many["time_per_image"] / optimal["time_per_image"]
-        if optimal and base_many
-        else None
-    )
+
+    def timing_at(rows, steps):
+        return next((r for r in rows if r["num_steps"] == steps), None)
+
     lines = []
 
     def conclude(msg, *fmt_args):
@@ -722,6 +776,30 @@ def conclusion_lines_for(quality_rows, base_results, rect_results):
 
     claim_supported, fid_col, best_rect, anchor = judge_quality_claim(
         quality_rows
+    )
+    # the headline speedup is computed from the SAME rows that carry the
+    # quality verdict (ADVICE r4: a rect@1-vs-base@64 figure under a
+    # rect@4-vs-base@100 quality claim overstates the quality-matched
+    # speedup ~2x); without a verdict, fall back to the step-count framing
+    # with the pairing spelled out. The timing sweep may also stop short
+    # of the anchor step count (dit256 times 1-32 but anchors quality at
+    # base@64) — then the claim is still judged, only the figure omitted.
+    if best_rect and anchor:
+        rect_t = timing_at(rect_results, best_rect["num_steps"])
+        base_t = timing_at(base_results, anchor["num_steps"])
+        speedup_pair = (best_rect["num_steps"], anchor["num_steps"])
+    else:
+        rect_t = next((r for r in rect_results if r["num_steps"] <= 4), None)
+        base_t = next((r for r in base_results if r["num_steps"] >= 64), None)
+        speedup_pair = (
+            (rect_t["num_steps"], base_t["num_steps"])
+            if rect_t and base_t
+            else None
+        )
+    total_speedup = (
+        base_t["time_per_image"] / rect_t["time_per_image"]
+        if rect_t and base_t
+        else None
     )
     if anchor and best_rect:
         def _ci(row):
@@ -749,26 +827,45 @@ def conclusion_lines_for(quality_rows, base_results, rect_results):
             best_rect["ssim_mean"], anchor["num_steps"],
             anchor[fid_col], _ci(anchor), anchor["ssim_mean"],
         )
+        if anchor.get("degraded_from_steps") is not None:
+            # VERDICT r4 ask #3: never judge against a degenerate
+            # many-step anchor silently — disclose the substitution
+            conclude(
+                "Anchor note: base quality DEGRADES with steps on this run "
+                "(base@%d %s %.1f is worse than base@%d %.1f), so the claim "
+                "is judged against base's best measured step count instead "
+                "of the degenerate many-step anchor.",
+                anchor["degraded_from_steps"], fid_col,
+                anchor["degraded_from_fid"],
+                anchor["num_steps"], anchor[fid_col],
+            )
         # metric-disagreement disclosure (the two perceptual statistics
         # measure different failure modes: fid_deep is distributional,
         # lpips_to_ref is precision-only and blind to mode collapse) —
-        # reports must say when they rank the winner differently instead
-        # of quoting only the supporting column
+        # reports must say when they rank the winner differently. Fires
+        # only when BOTH metrics support a direction beyond noise
+        # (CI-separated when the run carries CI columns, else a >2%
+        # relative margin): a 1e-5 precision delta is a tie, not a
+        # disagreement (VERDICT r4 ask #6 / ADVICE r4).
+        def _direction(col):
+            if _beats_beyond_noise(best_rect, anchor, col):
+                return "rectified"
+            if _beats_beyond_noise(anchor, best_rect, col):
+                return "base"
+            return None
+
         prec_r = best_rect.get("lpips_to_ref", float("nan"))
         prec_a = anchor.get("lpips_to_ref", float("nan"))
         if np.isfinite(prec_r) and np.isfinite(prec_a):
-            fid_says_rect = best_rect[fid_col] <= anchor[fid_col]
-            prec_says_rect = prec_r <= prec_a
-            if fid_says_rect != prec_says_rect:
+            fid_dir = _direction(fid_col)
+            prec_dir = _direction("lpips_to_ref")
+            if fid_dir and prec_dir and fid_dir != prec_dir:
                 conclude(
-                    "Metric disagreement: %s favors %s while perceptual "
-                    "precision (lpips_to_ref %.4f vs %.4f) favors %s — "
-                    "precision is blind to coverage; see the lpips_recall "
-                    "column for the coverage direction.",
-                    fid_col,
-                    "rectified" if fid_says_rect else "base",
-                    prec_r, prec_a,
-                    "rectified" if prec_says_rect else "base",
+                    "Metric disagreement (both beyond noise): %s favors %s "
+                    "while perceptual precision (lpips_to_ref %.4f vs %.4f) "
+                    "favors %s — precision is blind to coverage; see the "
+                    "lpips_recall column for the coverage direction.",
+                    fid_col, fid_dir, prec_r, prec_a, prec_dir,
                 )
     if claim_supported:
         qualifier = (
@@ -783,20 +880,26 @@ def conclusion_lines_for(quality_rows, base_results, rect_results):
             best_rect["num_steps"], anchor["num_steps"], qualifier,
         )
         if total_speedup is not None:
-            conclude("Measured total speedup: %.1fx faster", total_speedup)
+            conclude(
+                "Measured quality-matched speedup: %.1fx faster "
+                "(rect@%d vs base@%d, the rows that carried the claim)",
+                total_speedup, *speedup_pair,
+            )
     elif claim_supported is None:
         if total_speedup is not None:
             conclude(
-                "Per-step speedup at <=4 steps is %.1fx; no quality rows "
-                "were computed, so no quality-match claim is made.",
-                total_speedup,
+                "Step-count speedup rect@%d vs base@%d is %.1fx; no "
+                "quality rows were computed, so no quality-match claim "
+                "is made.",
+                speedup_pair[0], speedup_pair[1], total_speedup,
             )
     else:
         conclude(
             "Few-step rectified quality does NOT yet match the "
             "many-step base on this run (see quality_results.csv)%s",
-            f"; the {total_speedup:.1f}x step-count speedup is reported "
-            "without a quality-parity claim."
+            f"; the {total_speedup:.1f}x step-count speedup "
+            f"(rect@{speedup_pair[0]} vs base@{speedup_pair[1]}) is "
+            "reported without a quality-parity claim."
             if total_speedup is not None
             else ".",
         )

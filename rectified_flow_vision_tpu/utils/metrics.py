@@ -104,7 +104,13 @@ class MetricsCalculator:
         return self.compute_lpips_set_stats(generated, reference)["precision"]
 
     def compute_lpips_set_stats(
-        self, generated, reference, block: int = 128
+        self,
+        generated,
+        reference,
+        block: int = 128,
+        n_boot: int = 200,
+        alpha: float = 0.05,
+        seed: int = 0,
     ) -> Dict[str, float]:
         """Both directions of the nearest-neighbor perceptual statistic.
 
@@ -116,13 +122,25 @@ class MetricsCalculator:
         disagree exactly when precision-style and coverage-style quality
         diverge — reports must quote both (VERDICT r3 weak #4).
 
+        Each statistic carries a ``*_lo``/``*_hi`` percentile bootstrap CI
+        (VERDICT r4 ask #6): precision resamples the per-generated-image
+        nearest distances, recall the per-reference ones. This captures the
+        sampling noise of the MEAN over a fixed nearest-neighbor structure
+        (the same generated-set-resampling convention as
+        ``compute_fid_deep_ci``); it is nearly free since the distances are
+        already materialized.
+
         Blocked evaluation: the exact all-pairs Gram kernel runs on
         ``block``-sized tiles with running minima, so memory is O(block^2)
         and 256x256 x n=1000 sets fit (the full taps would be ~16 GB/set).
         """
         model = self.lpips_model
         if model is None or not hasattr(model, "pairwise_distance"):
-            return {"precision": float("nan"), "recall": float("nan")}
+            nan = float("nan")
+            return {
+                "precision": nan, "precision_lo": nan, "precision_hi": nan,
+                "recall": nan, "recall_lo": nan, "recall_hi": nan,
+            }
         gen = _to_numpy(generated)
         ref = _to_numpy(reference)
         gen_min = np.full(gen.shape[0], np.inf)
@@ -137,9 +155,29 @@ class MetricsCalculator:
                 ref_min[j : j + block] = np.minimum(
                     ref_min[j : j + block], d.min(axis=0)
                 )
+
+        rng = np.random.default_rng(seed)
+
+        def _boot_ci(vals: np.ndarray) -> Tuple[float, float]:
+            n = vals.shape[0]
+            reps = [
+                float(vals[rng.integers(0, n, size=n)].mean())
+                for _ in range(n_boot)
+            ]
+            lo, hi = np.percentile(
+                reps, [100 * alpha / 2, 100 * (1 - alpha / 2)]
+            )
+            return float(lo), float(hi)
+
+        p_lo, p_hi = _boot_ci(gen_min)
+        r_lo, r_hi = _boot_ci(ref_min)
         return {
             "precision": float(gen_min.mean()),
+            "precision_lo": p_lo,
+            "precision_hi": p_hi,
             "recall": float(ref_min.mean()),
+            "recall_lo": r_lo,
+            "recall_hi": r_hi,
         }
 
     @property

@@ -107,9 +107,17 @@ def quality_section() -> str:
     return "\n".join(out)
 
 
-def performance_section() -> str:
+def performance_section(bench_file: str | None = None) -> str:
+    """``bench_file`` pins which BENCH_r*.json the driver table reads
+    (default: newest). The enforcement test regenerates against the file
+    the committed block cites, so the driver dropping a NEWER bench json
+    at round end doesn't retroactively fail the suite."""
     out = []
-    benches = sorted(ROOT.glob("BENCH_r*.json"))
+    benches = (
+        [ROOT / bench_file]
+        if bench_file and (ROOT / bench_file).exists()
+        else sorted(ROOT.glob("BENCH_r*.json"))
+    )
     if benches:
         latest = benches[-1]
         data = json.loads(latest.read_text())
@@ -187,6 +195,18 @@ def replace_block(text: str, name: str, body: str) -> str:
     return pre + "\n" + body.rstrip() + "\n" + post
 
 
+def regenerate_text(
+    text: str, tests: bool = False, bench_file: str | None = None
+) -> str:
+    """Pure regeneration of STATUS.md's generated blocks (shared by the
+    CLI and the drift-enforcement test, tests/test_status_generated.py)."""
+    text = replace_block(text, "quality", quality_section())
+    text = replace_block(text, "performance", performance_section(bench_file))
+    if tests:
+        text = replace_block(text, "tests", tests_section())
+    return text
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tests", action="store_true",
@@ -195,12 +215,7 @@ def main() -> None:
     args = ap.parse_args()
 
     status = ROOT / "STATUS.md"
-    text = status.read_text()
-    text = replace_block(text, "quality", quality_section())
-    text = replace_block(text, "performance", performance_section())
-    if args.tests:
-        text = replace_block(text, "tests", tests_section())
-    status.write_text(text)
+    status.write_text(regenerate_text(status.read_text(), tests=args.tests))
     print("STATUS.md measured sections regenerated from artifacts")
 
 
