@@ -38,10 +38,18 @@ def main() -> None:
     ap.add_argument("--name", required=True)
     ap.add_argument("--config", default="configs/config.yaml")
     ap.add_argument("--pairs", type=int, default=None)
+    ap.add_argument("--pair-batch", type=int, default=None,
+                    help="synthesis batch size (default: config "
+                         "pair_batch_size; larger batches amortize the "
+                         "axon tunnel's per-dispatch overhead)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--teacher-steps", type=int, default=None)
     ap.add_argument("--method", default=None, help="euler|heun")
     ap.add_argument("--steps", nargs="+", type=int, default=[1, 2, 4])
+    ap.add_argument("--teacher", default=None,
+                    help="teacher checkpoint (.npz) overriding the "
+                         "config's base_flow_ema_final — lets a "
+                         "tools/ablate_teacher.py arm feed distillation")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -71,7 +79,10 @@ def main() -> None:
     ckpt_dir = repo_root() / cfg.paths.checkpoints
 
     teacher = build_model(cfg, BaseFlowModel)
-    teacher_path = ckpt_dir / "base_flow_ema_final.npz"
+    teacher_path = (
+        Path(args.teacher) if args.teacher
+        else ckpt_dir / "base_flow_ema_final.npz"
+    )
     teacher.load(str(teacher_path))
     print(f"teacher: {teacher_path}", flush=True)
 
@@ -82,7 +93,7 @@ def main() -> None:
     x0, x1 = generate_reflow_pairs(
         teacher,
         num_pairs=pairs,
-        batch_size=tr.pair_batch_size,
+        batch_size=args.pair_batch or tr.pair_batch_size,
         num_steps=teacher_steps,
         data_format="NHWC",
         method=method,
@@ -118,6 +129,7 @@ def main() -> None:
     calc = MetricsCalculator()
     row = {
         "arm": args.name,
+        "teacher": str(teacher_path),
         "num_pairs": pairs,
         "epochs": epochs,
         "teacher_steps": teacher_steps,

@@ -14,13 +14,16 @@ This script:
      utils/pt_import.py and asserts velocity-field agreement on fixed
      inputs (the framework computes the same function);
   2. trains OUR base model on the identical corpus (same epochs/batch/lr)
-     and runs the identical reduced-scale reflow;
+     and runs the identical reduced-scale reflow — once per --seeds entry,
+     so the FID-delta columns carry a measured per-seed spread (round-5
+     ask #7: the "FID within 2%" clause needs uncertainty attached);
   3. samples from the SAME noise tensors;
   4. computes FID (raw-pixel parity metric + SynthNet deep features) and
      SSIM for both implementations' samples against the corpus and writes
      results/parity/{REPORT.md, parity_metrics.csv, loss curves, grids}.
 
 Usage: python tools/parity_run.py [--ref-out .parity_ref/out]
+                                  [--seeds 42 43 44]
 """
 import argparse
 import json
@@ -37,6 +40,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-out", default=".parity_ref/out")
     ap.add_argument("--results", default="results/parity")
+    ap.add_argument(
+        "--seeds", nargs="+", type=int, default=[42, 43, 44],
+        help="train ours once per seed; deltas get a per-seed spread",
+    )
     args = ap.parse_args()
     ref = Path(args.ref_out)
     out = Path(args.results)
@@ -88,55 +95,70 @@ def main() -> None:
         print(f"    {name}: max rel err {rel:.2e}")
         assert rel < 5e-4, f"velocity mismatch for {name}: {rel}"
 
-    # ---- 2. train ours on the identical corpus ----------------------------
-    print("[parity] 2/4 training ours on the reference corpus", flush=True)
+    # ---- 2+3. train ours on the identical corpus, once per seed ------------
     ds = ImageDataset(str(ref / "corpus"), 64)
-    model = BaseFlowModel(image_size=64)  # reference default architecture
-    t0 = time.time()
-    losses = train_base_flow(
-        model, ds, epochs=50, lr=1e-4, batch_size=16, seed=42, progress=False
-    )
-    report["ours_base_train_s"] = round(time.time() - t0, 1)
     ref_losses = np.load(ref / "base_losses.npy")
-    np.save(out / "ours_base_losses.npy", np.asarray(losses))
-    report["base_loss_first_ours"] = round(losses[0], 4)
-    report["base_loss_first_ref"] = round(float(ref_losses[0]), 4)
-    report["base_loss_final_ours"] = round(losses[-1], 4)
-    report["base_loss_final_ref"] = round(float(ref_losses[-1]), 4)
-
-    # identical reduced-scale reflow
-    x0, x1 = generate_reflow_pairs(
-        model, num_pairs=256, batch_size=32, num_steps=50
-    )
-    rect = RectifiedFlowModel.from_base_model(model)
-    rlosses = train_rectified_flow(
-        rect, x0, x1, epochs=15, batch_size=16, lr=1e-4, progress=False
-    )
     ref_rlosses = np.load(ref / "rect_losses.npy")
-    np.save(out / "ours_rect_losses.npy", np.asarray(rlosses))
-    report["rect_loss_final_ours"] = round(rlosses[-1], 4)
+    report["base_loss_first_ref"] = round(float(ref_losses[0]), 4)
+    report["base_loss_final_ref"] = round(float(ref_losses[-1]), 4)
     report["rect_loss_final_ref"] = round(float(ref_rlosses[-1]), 4)
+    report["seeds"] = list(args.seeds)
 
-    # ---- 3. sample from the shared noise -----------------------------------
-    print("[parity] 3/4 sampling from shared noise", flush=True)
-    ours_base64 = np.concatenate(
-        [
-            np.asarray(
-                model.sample(noise=jnp.asarray(noise[i : i + 32]), num_steps=64)
+    def _sample(m, steps):
+        return np.concatenate(
+            [
+                np.asarray(
+                    m.sample(
+                        noise=jnp.asarray(noise[i : i + 32]), num_steps=steps
+                    )
+                )
+                for i in range(0, 128, 32)
+            ]
+        )
+
+    per_seed = []
+    for si, seed in enumerate(args.seeds):
+        print(
+            f"[parity] 2/4 training ours (seed {seed},"
+            f" {si + 1}/{len(args.seeds)})",
+            flush=True,
+        )
+        model = BaseFlowModel(image_size=64, seed=seed)  # reference default arch
+        t0 = time.time()
+        losses = train_base_flow(
+            model, ds, epochs=50, lr=1e-4, batch_size=16, seed=seed,
+            progress=False,
+        )
+        train_s = round(time.time() - t0, 1)
+        # identical reduced-scale reflow
+        x0, x1 = generate_reflow_pairs(
+            model, num_pairs=256, batch_size=32, num_steps=50, seed=seed
+        )
+        rect = RectifiedFlowModel.from_base_model(model, seed=seed + 1)
+        rlosses = train_rectified_flow(
+            rect, x0, x1, epochs=15, batch_size=16, lr=1e-4, seed=seed,
+            progress=False,
+        )
+        print(f"[parity] 3/4 sampling from shared noise (seed {seed})",
+              flush=True)
+        per_seed.append(
+            dict(
+                seed=seed, train_s=train_s, losses=losses, rlosses=rlosses,
+                base64=_sample(model, 64), rect4=_sample(rect, 4),
             )
-            for i in range(0, 128, 32)
-        ]
-    )
-    ours_rect4 = np.concatenate(
-        [
-            np.asarray(
-                rect.sample(noise=jnp.asarray(noise[i : i + 32]), num_steps=4)
-            )
-            for i in range(0, 128, 32)
-        ]
-    )
-    np.save(out / "ours_base_samples_64.npy", ours_base64)
-    np.save(out / "ours_rect_samples_4.npy", ours_rect4)
+        )
+
+    first = per_seed[0]
+    report["ours_base_train_s"] = first["train_s"]
+    report["base_loss_first_ours"] = round(first["losses"][0], 4)
+    report["base_loss_final_ours"] = round(first["losses"][-1], 4)
+    report["rect_loss_final_ours"] = round(first["rlosses"][-1], 4)
+    np.save(out / "ours_base_losses.npy", np.asarray(first["losses"]))
+    np.save(out / "ours_rect_losses.npy", np.asarray(first["rlosses"]))
+    np.save(out / "ours_base_samples_64.npy", first["base64"])
+    np.save(out / "ours_rect_samples_4.npy", first["rect4"])
+    ours_base64, ours_rect4 = first["base64"], first["rect4"]
+    losses, rlosses = first["losses"], first["rlosses"]
 
     # ---- 4. metrics head-to-head -------------------------------------------
     print("[parity] 4/4 metrics", flush=True)
@@ -144,46 +166,67 @@ def main() -> None:
     corpus_nchw = np.transpose(ds.images, (0, 3, 1, 2))
     ref_base64 = np.load(ref / "base_samples_64.npy")
     ref_rect4 = np.load(ref / "rect_samples_4_full.npy")
+    cu8 = ((ds.images + 1) / 2 * 255).astype(np.uint8)
 
-    rows = []
-    for label, ref_set, our_set in (
-        ("base@64step", ref_base64, ours_base64),
-        ("rect@4step", ref_rect4, ours_rect4),
-    ):
-        row = {"samples": label}
-        for impl, s in (("ref", ref_set), ("ours", our_set)):
-            s = np.clip(s, -1, 1)
-            row[f"fid_pixel_{impl}"] = calc.compute_fid(corpus_nchw, s)
-            row[f"fid_deep_{impl}"] = calc.compute_fid_deep(corpus_nchw, s)
-            u8 = ((s.transpose(0, 2, 3, 1) + 1) / 2 * 255).astype(np.uint8)
-            cu8 = ((ds.images + 1) / 2 * 255).astype(np.uint8)
-            row[f"ssim_{impl}"] = float(
+    def _metrics(s):
+        s = np.clip(s, -1, 1)
+        u8 = ((s.transpose(0, 2, 3, 1) + 1) / 2 * 255).astype(np.uint8)
+        return (
+            calc.compute_fid(corpus_nchw, s),
+            calc.compute_fid_deep(corpus_nchw, s),
+            float(
                 np.mean(
                     [
                         calc.compute_ssim(cu8[i % len(cu8)], u8[i])
                         for i in range(64)
                     ]
                 )
+            ),
+        )
+
+    ref_vals = {
+        "base@64step": _metrics(ref_base64),
+        "rect@4step": _metrics(ref_rect4),
+    }
+    rows = []
+    for ps in per_seed:
+        for label, our_set in (
+            ("base@64step", ps["base64"]),
+            ("rect@4step", ps["rect4"]),
+        ):
+            rfp, rfd, rss = ref_vals[label]
+            ofp, ofd, oss = _metrics(our_set)
+            rows.append(
+                {
+                    "samples": label,
+                    "seed": ps["seed"],
+                    "fid_pixel_ref": rfp,
+                    "fid_deep_ref": rfd,
+                    "ssim_ref": rss,
+                    "fid_pixel_ours": ofp,
+                    "fid_deep_ours": ofd,
+                    "ssim_ours": oss,
+                    "fid_pixel_delta_pct": round(100 * (ofp - rfp) / rfp, 2),
+                    "fid_deep_delta_pct": round(100 * (ofd - rfd) / rfd, 2),
+                }
             )
-        row["fid_pixel_delta_pct"] = round(
-            100
-            * (row["fid_pixel_ours"] - row["fid_pixel_ref"])
-            / row["fid_pixel_ref"],
-            2,
-        )
-        row["fid_deep_delta_pct"] = round(
-            100
-            * (row["fid_deep_ours"] - row["fid_deep_ref"])
-            / row["fid_deep_ref"],
-            2,
-        )
-        rows.append(row)
 
     import pandas as pd
 
     df = pd.DataFrame(rows)
     df.to_csv(out / "parity_metrics.csv", index=False)
     print(df.to_string(index=False))
+
+    # per-seed spread of the deep-FID delta (the north-star "within 2%" clause)
+    spread = {}
+    for label in ("base@64step", "rect@4step"):
+        d = df[df["samples"] == label]["fid_deep_delta_pct"]
+        spread[label] = dict(
+            mean=round(float(d.mean()), 2),
+            lo=round(float(d.min()), 2),
+            hi=round(float(d.max()), 2),
+        )
+    report["fid_deep_delta_spread"] = spread
 
     # loss-curve overlay + sample grids
     import matplotlib
@@ -193,11 +236,13 @@ def main() -> None:
 
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
     axes[0].plot(ref_losses, label="reference (torch)")
-    axes[0].plot(losses, label="ours (JAX/TPU)")
+    for ps in per_seed:
+        axes[0].plot(ps["losses"], label=f"ours (JAX/TPU, seed {ps['seed']})")
     axes[0].set_title("Base flow training loss (same corpus, 50 epochs)")
     axes[0].set_xlabel("epoch"), axes[0].legend(), axes[0].grid(alpha=0.3)
     axes[1].plot(ref_rlosses, label="reference (torch)")
-    axes[1].plot(rlosses, label="ours (JAX/TPU)")
+    for ps in per_seed:
+        axes[1].plot(ps["rlosses"], label=f"ours (JAX/TPU, seed {ps['seed']})")
     axes[1].set_title("Rectified training loss (256 pairs, 15 epochs)")
     axes[1].set_xlabel("epoch"), axes[1].legend(), axes[1].grid(alpha=0.3)
     fig.tight_layout()
@@ -263,8 +308,28 @@ def main() -> None:
         "",
         "fid_pixel = the reference's raw-pixel FID (score-parity metric);",
         "fid_deep = SynthNet learned-feature FID; ssim = mean SSIM against",
-        "corpus images. Independently trained 11M-param models on 100",
-        "images carry seed-level variance; the delta columns quantify it.",
+        "corpus images. One independently trained 11M-param model per seed",
+        "on 100 images; the reference row is its single (seeded) run.",
+        "",
+        "## 4. Seed spread of the deep-FID delta",
+        "",
+        f"Across seeds {report['seeds']} (ours retrained end-to-end per",
+        "seed, reference fixed):",
+        "",
+        "| samples | delta mean | delta range |",
+        "|---|---|---|",
+        f"| base@64step | {spread['base@64step']['mean']:+.2f}% "
+        f"| [{spread['base@64step']['lo']:+.2f}%, "
+        f"{spread['base@64step']['hi']:+.2f}%] |",
+        f"| rect@4step | {spread['rect@4step']['mean']:+.2f}% "
+        f"| [{spread['rect@4step']['lo']:+.2f}%, "
+        f"{spread['rect@4step']['hi']:+.2f}%] |",
+        "",
+        "The north-star clause is \"FID within 2% of the PyTorch",
+        "reference\". The spread above is the measured seed-level noise",
+        "floor of that comparison: deltas inside (or ranges overlapping)",
+        "the spread are indistinguishable from retraining the same",
+        "implementation with a different seed.",
         "",
         f"Training time, 50 epochs: reference {json.load(open(ref/'timings.json'))['base_train_50ep']:.0f}s"
         f" (1-core CPU) vs ours {report['ours_base_train_s']:.0f}s (1 TPU chip).",

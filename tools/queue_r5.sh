@@ -25,6 +25,43 @@ trap 'rm -f /tmp/queue_r5.pid' EXIT
 
 stage() { echo "=== $1 $(date)"; }
 
+# Stall watchdog: the axon TPU tunnel can drop an execute-RPC response,
+# leaving a stage futex-waiting forever (observed r5: train_base hung
+# after writing the compile cache). Every stage normally logs at least
+# once per WATCH_STALL_SECS; if the queue log stops growing for that
+# long while the stage is alive, kill it (rc 99) and let stage_retry
+# rerun it once against the now-warm compile cache.
+QUEUE_LOG="${QUEUE_LOG:-/tmp/queue_r5.log}"
+WATCH_STALL_SECS="${WATCH_STALL_SECS:-600}"
+watched() {
+  "$@" &
+  local pid=$! stall=0 lastsz=-1 sz
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 30
+    sz=$(stat -c %s "$QUEUE_LOG" 2>/dev/null || echo 0)
+    if [ "$sz" = "$lastsz" ]; then
+      stall=$((stall + 30))
+      if [ "$stall" -ge "$WATCH_STALL_SECS" ]; then
+        echo "=== WATCHDOG: no output for ${stall}s, killing: $*"
+        kill "$pid" 2>/dev/null; sleep 5
+        kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null
+        return 99
+      fi
+    else
+      stall=0; lastsz=$sz
+    fi
+  done
+  wait "$pid"
+}
+stage_retry() {
+  watched "$@"; local rc=$?
+  if [ $rc -eq 99 ]; then
+    echo "=== WATCHDOG: retrying once: $*"
+    watched "$@"; rc=$?
+  fi
+  return $rc
+}
+
 cfg_file() {  # flagship has the bare config name
   if [ "$1" = flagship ]; then echo configs/config.yaml; else echo "configs/config_$1.yaml"; fi
 }
@@ -44,7 +81,7 @@ EOF
   local base_ran=0
   if [ ! -f "$ckpt_dir/base_flow_final.npz" ]; then
     stage "$cfg train_base"
-    python -m rectified_flow_vision_tpu.experiments.train_base --config "$file" || return $?
+    stage_retry python -m rectified_flow_vision_tpu.experiments.train_base --config "$file" || return $?
     base_ran=1
   else
     stage "$cfg train_base SKIPPED (checkpoint exists)"
@@ -54,12 +91,12 @@ EOF
     stage "$cfg train_rectified SKIPPED (student newer than teacher)"
   else
     stage "$cfg train_rectified (teacher fresher than student, or student missing)"
-    python -m rectified_flow_vision_tpu.experiments.train_rectified --config "$file" || return $?
+    stage_retry python -m rectified_flow_vision_tpu.experiments.train_rectified --config "$file" || return $?
   fi
   local rdir stagedir
   rdir=$(res_dir "$cfg"); stagedir=$(mktemp -d /tmp/rfv_stage_XXXXXX)
   stage "$cfg benchmark (staging to $stagedir)"
-  if ! RFV_RESULTS_DIR=$stagedir python -m rectified_flow_vision_tpu.experiments.benchmark --config "$file"; then
+  if ! stage_retry env RFV_RESULTS_DIR="$stagedir" python -m rectified_flow_vision_tpu.experiments.benchmark --config "$file"; then
     rm -rf "$stagedir"; return 1
   fi
   mkdir -p "$rdir"
